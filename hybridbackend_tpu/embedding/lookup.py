@@ -1,0 +1,173 @@
+"""Sharded embedding lookup strategies.
+
+TPU-native re-design of the reference's sharded-lookup rewriting
+(``/root/reference/hybridbackend/tensorflow/embedding/sharding.py:168-278``).
+The reference routes lookups as: modulo-partition ids → NCCL alltoallv →
+unique → local gather → alltoallv embeddings back → stitch, with a
+hierarchical (intra-node then inter-node) two-stage variant. On TPU the
+same exchange is expressed with static shapes under ``shard_map``; three
+strategies are provided (option ``emb_lookup_strategy``):
+
+* ``allgather`` (default) — all-gather the (small, int32) ids across the
+  mesh, gather owned rows locally with masking, and return results via
+  ``reduce_scatter``. The sum happens *in the interconnect*, bytes moved
+  equal the alltoallv protocol's, and every shape is static — this is the
+  shape XLA's own sharded-gather lowering takes, made explicit.
+* ``alltoall`` — the literal PICASSO protocol: bucketed partition by
+  owner shard → all_to_all ids (+sizes) → local gather → all_to_all
+  embeddings back → unbucket. Wins when the id buckets are tight
+  (capacity < batch) so payloads shrink below the allgather volume.
+* ``gspmd`` — plain ``jnp.take`` on the row-sharded global array; XLA's
+  SPMD partitioner picks the exchange. Zero framework code in the hot
+  path; useful as a baseline and for odd meshes.
+
+Gradients flow through all strategies via JAX autodiff: the backward of
+``psum_scatter`` is ``all_gather`` and vice versa, giving exactly the
+reference's reverse-alltoallv gradient (``collective.py:334-347``) without
+a hand-written VJP. Sharded-table gradients stay local to each shard
+(never allreduced), matching ``gradient.py:197-207``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from hybridbackend_tpu.distribute.collective import (
+    all_to_all_v_t, axis_index_t)
+from hybridbackend_tpu.distribute.partition import partition_by_fn
+from hybridbackend_tpu.embedding.table import TableConfig
+from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
+
+
+def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
+           ctx: Optional[Context] = None,
+           strategy: Optional[str] = None) -> jax.Array:
+  """Look up ``ids`` (any shape) in a (possibly row-sharded) table.
+
+  Returns embeddings of shape ``ids.shape + (dim,)``, batch-sharded like
+  ``ids``. The leading flat size must divide evenly by the world size.
+  """
+  ctx = ctx or Context.get()
+  rows = config.row_index(ids, ctx)
+  if not config.should_shard(ctx):
+    return jnp.take(table, rows, axis=0)
+
+  strategy = strategy or OPTIONS['emb_lookup_strategy']
+  orig_shape = rows.shape
+  flat = rows.reshape(-1)
+  if flat.shape[0] % ctx.world_size != 0:
+    raise ValueError(
+        f'Lookup batch of {flat.shape[0]} ids (shape {orig_shape}) must '
+        f'divide evenly by world_size={ctx.world_size}; pad the batch.')
+
+  if strategy == 'gspmd':
+    # Zero-fill out-of-range ids, matching the sharded strategies (an
+    # unowned id contributes nothing). mode='fill' alone is not enough:
+    # jnp.take wraps negative indices numpy-style before bounds-checking.
+    out = jnp.take(table, flat, axis=0, mode='fill', fill_value=0)
+    out = jnp.where((flat >= 0)[:, None], out, 0)
+    return out.reshape(*orig_shape, config.dim)
+
+  axes = ctx.data_axes
+  world = ctx.world_size
+  vocab = config.padded_vocab(ctx)
+  rows_per_shard = vocab // world
+
+  if strategy == 'allgather':
+    body = functools.partial(_lookup_allgather, axes=axes,
+                             rows_per_shard=rows_per_shard)
+  elif strategy == 'alltoall':
+    body = functools.partial(_lookup_alltoall, axes=axes, world=world,
+                             rows_per_shard=rows_per_shard)
+  else:
+    raise ValueError(f'Unknown lookup strategy: {strategy!r}')
+
+  fn = jax.shard_map(
+      body, mesh=ctx.mesh,
+      in_specs=(P(axes, None), P(axes)),
+      out_specs=P(axes, None))
+  out = fn(table, flat)
+  return out.reshape(*orig_shape, config.dim)
+
+
+def _lookup_allgather(shard, ids_local, *, axes, rows_per_shard):
+  """all_gather ids → masked local gather → reduce_scatter embeddings."""
+  me = axis_index_t(axes)
+  all_ids = jax.lax.all_gather(ids_local, axes)          # [W, b]
+  owner = all_ids // rows_per_shard
+  local = all_ids - owner * rows_per_shard
+  local = jnp.clip(local, 0, shard.shape[0] - 1)
+  owned = (owner == me)[..., None]
+  contrib = jnp.where(owned, jnp.take(shard, local, axis=0,
+                                      mode='clip'), 0)   # [W, b, D]
+  contrib = contrib.astype(shard.dtype)
+  return jax.lax.psum_scatter(contrib, axes, scatter_dimension=0,
+                              tiled=False)               # [b, D]
+
+
+def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard):
+  """Bucketed-partition → a2a ids → local gather → a2a embeddings back.
+
+  Literal TPU translation of the reference exchange
+  (``sharding.py:171-205`` / ``nccl_alltoallv.cc:200-350``) with
+  fixed-capacity buckets instead of dynamic sizes.
+  """
+  me = axis_index_t(axes)
+  part = partition_by_fn(ids_local, world,
+                         lambda x: x // rows_per_shard,
+                         fill_value=0)
+  recv, recv_sizes = all_to_all_v_t(part.buckets, part.sizes, axes)
+  local = jnp.clip(recv - me * rows_per_shard, 0, rows_per_shard - 1)
+  emb = jnp.take(shard, local, axis=0, mode='clip')      # [W, cap, D]
+  back, _ = all_to_all_v_t(emb, recv_sizes, axes)        # [W, cap, D]
+  flat = back.reshape(-1, shard.shape[1])
+  out = jnp.take(flat, part.restore, axis=0)             # [b, D]
+  # Out-of-range ids have no owner shard: zero them (same contract as the
+  # allgather and gspmd strategies).
+  owner = ids_local // rows_per_shard
+  valid = (owner >= 0) & (owner < world)
+  return jnp.where(valid[:, None], out, 0)
+
+
+def lookup_sparse(table: jax.Array, ids: jax.Array, mask: jax.Array,
+                  config: TableConfig,
+                  weights: Optional[jax.Array] = None,
+                  combiner: Optional[str] = None,
+                  ctx: Optional[Context] = None,
+                  strategy: Optional[str] = None) -> jax.Array:
+  """Combined lookup over padded ragged ids (embedding_lookup_sparse).
+
+  Args:
+    ids: ``[batch, max_len]`` padded id matrix.
+    mask: ``[batch, max_len]`` validity mask (bool or 0/1).
+    weights: optional per-id weights.
+    combiner: sum | mean | sqrtn (reference
+      ``tf.nn.embedding_lookup_sparse`` parity).
+
+  Returns:
+    ``[batch, dim]`` combined embeddings.
+  """
+  combiner = combiner or config.combiner
+  emb = lookup(table, ids, config, ctx=ctx, strategy=strategy)
+  m = mask.astype(emb.dtype)
+  if weights is not None:
+    m = m * weights.astype(emb.dtype)
+  emb = emb * m[..., None]
+  total = jnp.sum(emb, axis=-2)
+  if combiner == 'sum':
+    return total
+  denom = jnp.sum(m, axis=-1, keepdims=True)
+  if combiner == 'mean':
+    return total / jnp.maximum(denom, 1e-9)
+  if combiner == 'sqrtn':
+    return total / jnp.sqrt(jnp.maximum(denom, 1e-9))
+  raise ValueError(f'Unknown combiner: {combiner!r}')
+
+
+__all__ = ['lookup', 'lookup_sparse']

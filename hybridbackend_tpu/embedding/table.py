@@ -1,0 +1,140 @@
+"""Sharded embedding table creation and shard policy.
+
+TPU-native re-design of the reference's sharded embedding weights
+(``/root/reference/hybridbackend/tensorflow/embedding/sharding.py:49-139``
+and ``embedding/variables.py:69-162``). The reference patches
+``tf.get_variable`` to build per-rank ``name/part_<rank>`` variables with
+``SaveSliceInfo``; in JAX a table is ONE logical global array of shape
+``[vocab, dim]`` carrying a :class:`jax.sharding.NamedSharding` that
+row-shards it across the mesh. World-size-independent checkpointing
+(reference ``SaveSliceInfo``, ``variables.py:126-141``) falls out of
+global-shape semantics for free.
+
+Shard policy parity (``variables.py:69-146``):
+
+* tables with ``vocab < world_size`` or ``vocab <= min_shard_rows`` are
+  replicated (reference ``TRAINABLE_REPLICATED_SMALL``);
+* otherwise row-sharded. The reference shards by ``id % world_size``;
+  we shard in contiguous blocks (``owner = id // rows_per_shard``), which
+  is what XLA's block-partitioned layout wants and keeps checkpoints in
+  logical row order. Skew-prone workloads can enable ``shuffle_ids`` to
+  spread hot (low) ids across shards via an invertible multiplicative
+  mix — the analogue of the reference's modulo interleaving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
+
+OPTIONS.register('emb_sharded', True, env='HB_EMB_SHARDED',
+                 doc='Globally enable/disable embedding sharding '
+                     '(reference option `sharding`).')
+OPTIONS.register('emb_min_shard_rows', 0, env='HB_EMB_MIN_SHARD_ROWS',
+                 doc='Tables with fewer rows than this stay replicated.')
+OPTIONS.register('emb_lookup_strategy', 'allgather',
+                 env='HB_EMB_LOOKUP_STRATEGY',
+                 doc='Sharded lookup algorithm: allgather|alltoall|gspmd.')
+OPTIONS.register('emb_unique_ratio', 1.0, env='HB_EMB_UNIQUE_RATIO',
+                 doc='Capacity of the static dedup as a fraction of batch '
+                     '(1.0 = exact, lossless).')
+
+
+def _round_up(x: int, m: int) -> int:
+  return ((x + m - 1) // m) * m
+
+
+def _mix_constant(n_pow2: int) -> int:
+  """Odd multiplier for an invertible multiplicative mix mod 2^k."""
+  # Knuth's multiplicative-hash constant, forced odd → bijective mod 2^k.
+  return 0x9E3779B1 | 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TableConfig:
+  """Declarative embedding table spec.
+
+  Mirrors what the reference derives from ``get_variable`` call sites plus
+  the combiner in ``embedding_lookup_sparse``.
+  """
+  name: str
+  vocab_size: int
+  dim: int
+  initializer: Optional[Callable[[jax.Array, Tuple[int, int]], jax.Array]] = None
+  combiner: str = 'sum'            # for sparse (ragged) lookups
+  dtype: jnp.dtype = jnp.float32
+  sharded: Optional[bool] = None   # None = auto policy
+  shuffle_ids: bool = False        # spread hot ids across block shards
+
+  def should_shard(self, ctx: Optional[Context] = None) -> bool:
+    """Reference policy: shard iff world>1 ∧ sharding enabled ∧ table is
+    big enough (``sharding.py:67-75``, ``variables.py:69-146``)."""
+    ctx = ctx or Context.get()
+    if self.sharded is not None:
+      return self.sharded and ctx.world_size > 1
+    if ctx.world_size <= 1 or not OPTIONS['emb_sharded']:
+      return False
+    if self.vocab_size < ctx.world_size:
+      return False
+    if self.vocab_size < int(OPTIONS['emb_min_shard_rows']):
+      return False
+    return True
+
+  def padded_vocab(self, ctx: Optional[Context] = None) -> int:
+    """Vocab rounded up so every shard holds the same number of rows."""
+    ctx = ctx or Context.get()
+    world = ctx.world_size if self.should_shard(ctx) else 1
+    v = self.vocab_size
+    if self.shuffle_ids:
+      v = 1 << (v - 1).bit_length()  # pow2 for the invertible mix
+    return _round_up(v, world)
+
+  def row_index(self, ids: jax.Array, ctx: Optional[Context] = None):
+    """Map feature ids to physical table rows (identity unless shuffled)."""
+    if not self.shuffle_ids:
+      return ids
+    n = self.padded_vocab(ctx)
+    c = _mix_constant(n)
+    return (ids.astype(jnp.uint32) * jnp.uint32(c) % jnp.uint32(n)).astype(
+        ids.dtype)
+
+  def sharding(self, ctx: Optional[Context] = None) -> NamedSharding:
+    ctx = ctx or Context.get()
+    if self.should_shard(ctx):
+      return NamedSharding(ctx.mesh, P(ctx.data_axes, None))
+    return NamedSharding(ctx.mesh, P(None, None))
+
+
+def default_initializer(rng: jax.Array, shape: Tuple[int, int],
+                        dtype=jnp.float32) -> jax.Array:
+  """Reference models use truncated-normal-ish init scaled by 1/sqrt(dim)."""
+  scale = 1.0 / np.sqrt(shape[1])
+  return jax.random.uniform(rng, shape, dtype, -scale, scale)
+
+
+def create_table(config: TableConfig, rng: jax.Array,
+                 ctx: Optional[Context] = None) -> jax.Array:
+  """Materialize a table as a (possibly row-sharded) global array."""
+  ctx = ctx or Context.get()
+  vocab = config.padded_vocab(ctx)
+  init = config.initializer or default_initializer
+  sharding = config.sharding(ctx)
+
+  @jax.jit
+  def _init(rng):
+    out = init(rng, (vocab, config.dim)).astype(config.dtype)
+    return jax.lax.with_sharding_constraint(out, sharding)
+
+  with ctx.mesh:
+    return jax.jit(_init, out_shardings=sharding)(rng)
+
+
+__all__ = ['TableConfig', 'create_table', 'default_initializer']

@@ -1,0 +1,157 @@
+"""Tests for sharded embedding tables and lookup strategies (parity with
+the reference's embedding/tests/embedding_lookup_test.py: numerical
+equality of sharded lookup vs a plain local gather, plus gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridbackend_tpu.embedding import (
+    TableConfig, create_table, lookup, lookup_sparse)
+from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
+
+VOCAB, DIM, BATCH = 64, 16, 32
+
+
+def make_table(vocab=VOCAB, dim=DIM, **kw):
+  cfg = TableConfig('t', vocab, dim, **kw)
+  table = create_table(cfg, jax.random.PRNGKey(0))
+  return cfg, table
+
+
+class TestShardPolicy:
+
+  def test_big_table_sharded(self):
+    cfg = TableConfig('t', VOCAB, DIM)
+    assert cfg.should_shard()
+
+  def test_small_table_replicated(self):
+    cfg = TableConfig('t', 4, DIM)  # vocab < world_size
+    assert not cfg.should_shard()
+
+  def test_forced_replication(self):
+    cfg = TableConfig('t', VOCAB, DIM, sharded=False)
+    assert not cfg.should_shard()
+
+  def test_min_shard_rows_option(self):
+    with OPTIONS.override(emb_min_shard_rows=1000):
+      cfg = TableConfig('t', VOCAB, DIM)
+      assert not cfg.should_shard()
+
+  def test_padded_vocab_divisible(self):
+    cfg = TableConfig('t', 61, DIM)
+    assert cfg.padded_vocab() % Context.get().world_size == 0
+    assert cfg.padded_vocab() >= 61
+
+  def test_sharding_spec(self):
+    cfg, table = make_table()
+    assert table.shape == (VOCAB, DIM)
+    # Row-sharded over the 8 devices → 8 addressable shards.
+    assert len(table.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize('strategy', ['allgather', 'alltoall', 'gspmd'])
+class TestLookupStrategies:
+
+  def test_matches_dense_gather(self, strategy):
+    cfg, table = make_table()
+    host_table = np.asarray(table)
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(0, VOCAB, BATCH), dtype=jnp.int32)
+    out = lookup(table, ids, cfg, strategy=strategy)
+    np.testing.assert_allclose(np.asarray(out),
+                               host_table[np.asarray(ids)], rtol=1e-6)
+
+  def test_2d_ids(self, strategy):
+    cfg, table = make_table()
+    host_table = np.asarray(table)
+    rng = np.random.RandomState(2)
+    ids = jnp.asarray(rng.randint(0, VOCAB, (BATCH, 4)), dtype=jnp.int32)
+    out = lookup(table, ids, cfg, strategy=strategy)
+    assert out.shape == (BATCH, 4, DIM)
+    np.testing.assert_allclose(np.asarray(out),
+                               host_table[np.asarray(ids)], rtol=1e-6)
+
+  def test_gradient_sparse_rows(self, strategy):
+    cfg, table = make_table()
+    rng = np.random.RandomState(3)
+    ids_np = rng.randint(0, VOCAB, BATCH)
+    ids = jnp.asarray(ids_np, dtype=jnp.int32)
+
+    def loss(t):
+      return jnp.sum(lookup(t, ids, cfg, strategy=strategy) ** 2)
+
+    g = jax.grad(loss)(table)
+    expected = np.zeros((VOCAB, DIM), np.float32)
+    ht = np.asarray(table)
+    for i in ids_np:
+      expected[i] += 2 * ht[i]
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5)
+
+  def test_under_jit(self, strategy):
+    cfg, table = make_table()
+    ids = jnp.arange(BATCH, dtype=jnp.int32)
+    f = jax.jit(lambda t, i: lookup(t, i, cfg, strategy=strategy))
+    out = f(table, ids)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(table)[:BATCH], rtol=1e-6)
+
+
+class TestReplicatedLookup:
+
+  def test_small_table(self):
+    cfg, table = make_table(vocab=6)
+    ids = jnp.asarray([0, 5, 3, 1], dtype=jnp.int32)
+    out = lookup(table, ids, cfg)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(table)[[0, 5, 3, 1]])
+
+
+class TestShuffledIds:
+
+  def test_lookup_consistent(self):
+    cfg, table = make_table(shuffle_ids=True)
+    ids = jnp.asarray([0, 1, 2, 3] * 8, dtype=jnp.int32)
+    out1 = lookup(table, ids, cfg, strategy='allgather')
+    out2 = lookup(table, ids, cfg, strategy='alltoall')
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+    # Same id → same row, different ids → (almost surely) different rows.
+    rows = cfg.row_index(jnp.arange(16, dtype=jnp.int32))
+    assert len(set(np.asarray(rows).tolist())) == 16
+
+
+class TestLookupSparse:
+
+  def _setup(self):
+    cfg, table = make_table()
+    rng = np.random.RandomState(4)
+    ids = rng.randint(0, VOCAB, (BATCH, 5))
+    lengths = rng.randint(1, 6, BATCH)
+    mask = np.arange(5)[None, :] < lengths[:, None]
+    return cfg, table, jnp.asarray(ids, dtype=jnp.int32), jnp.asarray(mask)
+
+  def test_sum_combiner(self):
+    cfg, table, ids, mask = self._setup()
+    out = lookup_sparse(table, ids, mask, cfg, combiner='sum')
+    ht = np.asarray(table)
+    expected = (ht[np.asarray(ids)] * np.asarray(mask)[..., None]).sum(1)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+  def test_mean_combiner(self):
+    cfg, table, ids, mask = self._setup()
+    out = lookup_sparse(table, ids, mask, cfg, combiner='mean')
+    ht = np.asarray(table)
+    m = np.asarray(mask).astype(np.float32)
+    expected = (ht[np.asarray(ids)] * m[..., None]).sum(1) / m.sum(
+        1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+  def test_weighted(self):
+    cfg, table, ids, mask = self._setup()
+    w = jnp.ones_like(ids, dtype=jnp.float32) * 2.0
+    out_w = lookup_sparse(table, ids, mask, cfg, weights=w, combiner='sum')
+    out = lookup_sparse(table, ids, mask, cfg, combiner='sum')
+    np.testing.assert_allclose(np.asarray(out_w), 2 * np.asarray(out),
+                               rtol=1e-5)

@@ -1,0 +1,110 @@
+"""Tests for Options and Context (framework core)."""
+
+import os
+
+import jax
+import pytest
+
+from hybridbackend_tpu.framework.context import (
+    Context, build_mesh, context_scope, scope)
+from hybridbackend_tpu.framework.options import Options
+
+
+class TestOptions:
+
+  def test_register_get_set(self):
+    opts = Options()
+    opts.register('alpha', 3)
+    assert opts['alpha'] == 3
+    opts['alpha'] = 7
+    assert opts['alpha'] == 7
+
+  def test_duplicate_register_keeps_first(self):
+    opts = Options()
+    opts.register('k', 1)
+    opts.register('k', 2)
+    assert opts['k'] == 1
+
+  def test_unknown_raises(self):
+    opts = Options()
+    with pytest.raises(KeyError):
+      opts.get('missing')
+    with pytest.raises(KeyError):
+      opts.set('missing', 1)
+
+  def test_env_override(self):
+    opts = Options()
+    os.environ['HB_TEST_OPT_X'] = '42'
+    try:
+      opts.register('x', 7, env='HB_TEST_OPT_X')
+      assert opts['x'] == 42
+    finally:
+      del os.environ['HB_TEST_OPT_X']
+
+  def test_env_bool_parsing(self):
+    opts = Options()
+    os.environ['HB_TEST_OPT_B'] = 'true'
+    try:
+      opts.register('b', False, env='HB_TEST_OPT_B')
+      assert opts['b'] is True
+    finally:
+      del os.environ['HB_TEST_OPT_B']
+
+  def test_scoped_override(self):
+    opts = Options()
+    opts.register('y', 1)
+    with opts.override(y=5):
+      assert opts['y'] == 5
+      with opts.override(y=9):
+        assert opts['y'] == 9
+      assert opts['y'] == 5
+    assert opts['y'] == 1
+
+  def test_override_unknown_raises(self):
+    opts = Options()
+    with pytest.raises(KeyError):
+      with opts.override(nope=1):
+        pass
+
+
+class TestContext:
+
+  def test_world_size_is_device_count(self):
+    ctx = Context.get()
+    assert ctx.world_size == jax.device_count() == 8
+
+  def test_mesh_axes(self):
+    ctx = Context.get()
+    assert set(ctx.mesh.axis_names) == {'dcn', 'ici'}
+    assert ctx.num_hosts == 1
+    assert ctx.local_world_size == 8
+
+  def test_rank_and_chief(self):
+    ctx = Context.get()
+    assert ctx.rank == 0
+    assert ctx.is_chief
+
+  def test_build_mesh_hierarchical_flag(self):
+    mesh = build_mesh(hierarchical=False)
+    assert mesh.shape['dcn'] == 1
+    assert mesh.shape['ici'] == 8
+
+  def test_context_scope(self):
+    outer = Context.get()
+    inner = Context(build_mesh(devices=jax.devices()[:4]))
+    with context_scope(inner):
+      assert Context.get() is inner
+      assert Context.get().world_size == 4
+    assert Context.get() is outer
+
+  def test_scope_sets_options(self):
+    from hybridbackend_tpu.framework.options import OPTIONS
+    with scope(batch_size=128) as ctx:
+      assert OPTIONS['batch_size'] == 128
+      assert ctx.world_size == 8
+    assert OPTIONS['batch_size'] == -1
+
+  def test_shardings(self):
+    ctx = Context.get()
+    s = ctx.batch_sharding
+    assert s.mesh.shape == ctx.mesh.shape
