@@ -1,0 +1,117 @@
+"""Asynchronous host→device prefetching.
+
+TPU-native re-design of the reference's prefetch buffer + H2D transfer
+ops (``/root/reference/hybridbackend/tensorflow/data/prefetch/prefetch.cc``
+and ``ops/transfer/*``): the reference runs taker threads that fill a
+C++ buffer resource and copies pinned host tensors to the GPU on a side
+stream. On TPU, host→device DMA is issued by ``jax.device_put`` (which
+is asynchronous), so the framework's job is pipelining: a background
+thread converts host batches into (globally sharded) device arrays a few
+steps ahead of consumption, overlapping Parquet decode + H2D with the
+training step.
+
+Multi-host assembly uses ``jax.make_array_from_process_local_data`` —
+each host contributes its local shard of the global batch (reference:
+per-host file partitions, ``dataset_v2.py:49-50``).
+"""
+
+from __future__ import annotations
+
+import queue as _queue
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
+
+OPTIONS.register('data_prefetch_capacity', 2, env='HB_DATA_PREFETCH_CAPACITY',
+                 doc='Device batches to stage ahead of the consumer.')
+
+
+def _put_batch(batch: Dict[str, np.ndarray], ctx: Context,
+               sharded: bool) -> Dict[str, jax.Array]:
+  out = {}
+  for k, v in batch.items():
+    v = np.asarray(v)
+    if sharded and v.ndim >= 1:
+      sharding = ctx.batch_sharding if v.ndim == 1 else ctx.sharding(
+          ctx.data_axes, *([None] * (v.ndim - 1)))
+      if ctx.num_processes > 1:
+        out[k] = jax.make_array_from_process_local_data(sharding, v)
+      else:
+        out[k] = jax.device_put(v, sharding)
+    else:
+      out[k] = jax.device_put(v, ctx.replicated_sharding)
+  return out
+
+
+class DeviceIterator:
+  """Iterates device-resident batches with background prefetch.
+
+  Mirrors the reference ``hb.data.Iterator`` semantics
+  (``iterator.py:45-407``): bounded capacity, cancellation on close,
+  exceptions from the producer re-raised at the consumer.
+  """
+
+  def __init__(self, host_iterator: Iterator[Dict[str, np.ndarray]],
+               ctx: Optional[Context] = None,
+               capacity: Optional[int] = None,
+               sharded: bool = True,
+               transform: Optional[Callable[[Dict[str, np.ndarray]],
+                                            Dict[str, np.ndarray]]] = None):
+    self._ctx = ctx or Context.get()
+    self._capacity = capacity or int(OPTIONS['data_prefetch_capacity'])
+    self._q: _queue.Queue = _queue.Queue(maxsize=self._capacity)
+    self._stop = threading.Event()
+    self._sharded = sharded
+    self._transform = transform
+    self._thread = threading.Thread(
+        target=self._producer, args=(iter(host_iterator),), daemon=True)
+    self._thread.start()
+
+  def _producer(self, it):
+    try:
+      for batch in it:
+        if self._transform is not None:
+          batch = self._transform(batch)
+        dev = _put_batch(batch, self._ctx, self._sharded)
+        while not self._stop.is_set():
+          try:
+            self._q.put(dev, timeout=0.1)
+            break
+          except _queue.Full:
+            continue
+        if self._stop.is_set():
+          return
+    except BaseException as e:
+      self._q.put(e)
+      return
+    self._q.put(None)
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> Dict[str, jax.Array]:
+    if self._stop.is_set():
+      raise StopIteration
+    item = self._q.get()
+    if item is None:
+      raise StopIteration
+    if isinstance(item, BaseException):
+      raise item
+    return item
+
+  def close(self) -> None:
+    """Cancel the producer (reference: HbCancelPrefetch)."""
+    self._stop.set()
+    try:
+      while True:
+        self._q.get_nowait()
+    except _queue.Empty:
+      pass
+
+
+__all__ = ['DeviceIterator']

@@ -1,0 +1,106 @@
+"""Rebatching: resize reader micro-batches into exact training batches.
+
+TPU-native re-design of the reference's C++ ``RebatchBuffer``
+(``/root/reference/hybridbackend/tensorflow/data/rebatch/rebatch_buffer.cc``
+683 LoC + ``rebatch_dataset_v2.cc:46-410``): readers emit row-group-sized
+micro-batches; the rebatcher buffers row slices (dense and ragged) and
+emits exactly ``batch_size`` rows per output batch, optionally shuffling
+within a bounded window. All row ops are vectorized NumPy over Arrow
+buffer views, so the hot loop stays in C.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from hybridbackend_tpu.data.dataframe import (
+    Batch, concat_columns, num_rows, slice_rows, take_rows)
+
+
+class RebatchBuffer:
+  """Accumulates row slices and takes exact-size batches.
+
+  Reference: ``RebatchBuffer`` (``buffer.h:31-117``) with dense & sparse
+  take paths and shuffle support.
+  """
+
+  def __init__(self, shuffle: bool = False, seed: int = 0):
+    self._chunks: List[Batch] = []
+    self._rows = 0
+    self._shuffle = shuffle
+    self._rng = np.random.RandomState(seed)
+
+  @property
+  def rows(self) -> int:
+    return self._rows
+
+  def put(self, batch: Batch) -> None:
+    n = None
+    for col in batch.values():
+      c = num_rows(col)
+      if n is None:
+        n = c
+      elif c != n:
+        raise ValueError(f'Ragged batch: column sizes differ ({c} vs {n})')
+    if not n:
+      return
+    self._chunks.append(batch)
+    self._rows += n
+
+  def take(self, n: int) -> Batch:
+    """Remove and return exactly ``n`` rows (caller checks ``rows``)."""
+    if n > self._rows:
+      raise ValueError(f'take({n}) > buffered rows {self._rows}')
+    taken: List[Batch] = []
+    got = 0
+    while got < n:
+      chunk = self._chunks[0]
+      size = num_rows(next(iter(chunk.values())))
+      need = n - got
+      if size <= need:
+        taken.append(chunk)
+        self._chunks.pop(0)
+        got += size
+      else:
+        taken.append({k: slice_rows(v, 0, need) for k, v in chunk.items()})
+        self._chunks[0] = {k: slice_rows(v, need, size)
+                           for k, v in chunk.items()}
+        got += need
+    self._rows -= n
+    if len(taken) == 1:
+      out = taken[0]
+    else:
+      keys = taken[0].keys()
+      out = {k: concat_columns([t[k] for t in taken]) for k in keys}
+    if self._shuffle:
+      perm = self._rng.permutation(n)
+      out = {k: take_rows(v, perm) for k, v in out.items()}
+    return out
+
+
+def rebatch(micro_batches: Iterator[Batch], batch_size: int,
+            drop_remainder: bool = False, shuffle: bool = False,
+            shuffle_buffer: Optional[int] = None,
+            seed: int = 0) -> Iterator[Batch]:
+  """Stream micro-batches through a :class:`RebatchBuffer`.
+
+  With ``shuffle``, batches are taken only once ``shuffle_buffer`` rows
+  are buffered (reference ``shuffle_batch``, ``table.py:194-275``), and
+  each take permutes its rows; the window gives approximate global
+  shuffling at bounded memory.
+  """
+  buf = RebatchBuffer(shuffle=shuffle, seed=seed)
+  watermark = max(batch_size, shuffle_buffer or 0) if shuffle else batch_size
+  for mb in micro_batches:
+    buf.put(mb)
+    while buf.rows >= watermark:
+      yield buf.take(batch_size)
+  while buf.rows >= batch_size:
+    yield buf.take(batch_size)
+  if buf.rows and not drop_remainder:
+    yield buf.take(buf.rows)
+
+
+__all__ = ['RebatchBuffer', 'rebatch']

@@ -1,0 +1,297 @@
+"""Data layer tests — parity with the reference's data/tests suite
+(parquet_dataset_test.py, rebatch, ragged, string, dedup, sync):
+pandas/pyarrow-generated fixtures, batch contents asserted against
+pd.read_parquet slices."""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hybridbackend_tpu.data import (
+    Dataset, DeviceIterator, Field, ParquetDataset, SyncReplicasIterator,
+    Value, deduplicate, parse, populate_defaults, restore_deduplicated)
+from hybridbackend_tpu.data.rebatch import RebatchBuffer, rebatch
+from hybridbackend_tpu.data.validate import validate
+
+
+@pytest.fixture
+def workdir():
+  with tempfile.TemporaryDirectory() as d:
+    yield d
+
+
+def write_parquet(path, nrows=200, seed=0, ragged=False, row_group_size=50):
+  rng = np.random.RandomState(seed)
+  df = pd.DataFrame({
+      'label': rng.randint(0, 2, nrows).astype(np.float32),
+      'f0': rng.randint(0, 100, nrows).astype(np.int64),
+      'f1': rng.randint(0, 100, nrows).astype(np.int64),
+  })
+  if ragged:
+    df['seq'] = [
+        rng.randint(0, 50, rng.randint(1, 6)).astype(np.int64).tolist()
+        for _ in range(nrows)
+    ]
+  df.to_parquet(path, row_group_size=row_group_size)
+  return df
+
+
+class TestValue:
+
+  def test_roundtrip_list(self):
+    v = Value(np.array([1, 2, 3, 4, 5]), [np.array([0, 2, 2, 5])])
+    lst = v.to_list()
+    assert [list(x) for x in lst] == [[1, 2], [], [3, 4, 5]]
+    assert v.batch_size == 3
+
+  def test_to_padded(self):
+    v = Value(np.array([1, 2, 3, 4, 5]), [np.array([0, 2, 2, 5])])
+    padded, mask = v.to_padded(max_len=4, pad_value=-1)
+    np.testing.assert_array_equal(padded, [[1, 2, -1, -1],
+                                           [-1, -1, -1, -1],
+                                           [3, 4, 5, -1]])
+    np.testing.assert_array_equal(mask, [[1, 1, 0, 0],
+                                         [0, 0, 0, 0],
+                                         [1, 1, 1, 0]])
+
+  def test_to_padded_pow2_default(self):
+    v = Value(np.arange(5), [np.array([0, 5])])
+    padded, _ = v.to_padded()
+    assert padded.shape == (1, 8)  # 5 → pow2 bucket 8
+
+  def test_to_coo(self):
+    v = Value(np.array([7, 8, 9]), [np.array([0, 1, 3])])
+    indices, values, shape = v.to_coo()
+    np.testing.assert_array_equal(indices, [[0, 0], [1, 0], [1, 1]])
+    np.testing.assert_array_equal(values, [7, 8, 9])
+    assert shape == (2, 2)
+
+  def test_slice_and_concat(self):
+    v = Value(np.arange(10), [np.array([0, 3, 5, 6, 10])])
+    a, b = v.slice_rows(0, 2), v.slice_rows(2, 4)
+    back = Value.concat([a, b])
+    np.testing.assert_array_equal(back.values, v.values)
+    np.testing.assert_array_equal(back.row_splits[0], v.row_splits[0])
+
+  def test_parse_and_defaults(self):
+    batch = {'a': np.arange(4),
+             's': Value(np.arange(6), [np.array([0, 1, 3, 3, 6])])}
+    fields = [Field('a'), Field('s', ragged_rank=1, max_len=4),
+              Field('missing', dtype=np.float32, default_value=9.0)]
+    batch = populate_defaults(batch, fields)
+    assert batch['missing'].shape == (4,)
+    assert (batch['missing'] == 9.0).all()
+    parsed = parse(batch, fields)
+    assert parsed['s'].shape == (4, 4)
+    assert parsed['s_mask'].sum() == 6
+
+
+class TestParquetDataset:
+
+  def test_batches_match_pandas(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    df = write_parquet(path)
+    ds = ParquetDataset(path, batch_size=32)
+    got = list(ds)
+    total = sum(len(b['f0']) for b in got)
+    assert total == 200
+    assert all(len(b['f0']) == 32 for b in got[:-1])
+    joined = np.concatenate([b['f0'] for b in got])
+    np.testing.assert_array_equal(joined, df['f0'].values)
+
+  def test_drop_remainder(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    write_parquet(path)
+    got = list(ParquetDataset(path, batch_size=64, drop_remainder=True))
+    assert len(got) == 3
+    assert all(len(b['f0']) == 64 for b in got)
+
+  def test_column_selection(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    write_parquet(path)
+    got = next(iter(ParquetDataset(path, fields=['label'], batch_size=16)))
+    assert set(got.keys()) == {'label'}
+
+  def test_unknown_column_raises(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    write_parquet(path)
+    with pytest.raises(ValueError):
+      ParquetDataset(path, fields=['nope'])
+
+  def test_ragged_column(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    df = write_parquet(path, ragged=True)
+    got = next(iter(ParquetDataset(path, batch_size=50)))
+    assert isinstance(got['seq'], Value)
+    expected = df['seq'][:50].tolist()
+    actual = [list(x) for x in got['seq'].to_list()]
+    assert actual == expected
+
+  def test_schema_inference(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    write_parquet(path, ragged=True)
+    ds = ParquetDataset(path)
+    by_name = {f.name: f for f in ds.fields}
+    assert by_name['f0'].ragged_rank == 0
+    assert by_name['seq'].ragged_rank == 1
+    assert by_name['label'].dtype == np.float32
+
+  def test_glob_and_multiple_files(self, workdir):
+    df0 = write_parquet(os.path.join(workdir, 'p0.parquet'), seed=1)
+    df1 = write_parquet(os.path.join(workdir, 'p1.parquet'), seed=2)
+    ds = ParquetDataset(os.path.join(workdir, 'p*.parquet'), batch_size=100,
+                        num_parallel_reads=1)
+    got = np.concatenate([b['f0'] for b in ds])
+    expected = np.concatenate([df0['f0'].values, df1['f0'].values])
+    np.testing.assert_array_equal(got, expected)
+
+  def test_parallel_reads_complete(self, workdir):
+    for i in range(4):
+      write_parquet(os.path.join(workdir, f'p{i}.parquet'), seed=i)
+    ds = ParquetDataset(os.path.join(workdir, 'p*.parquet'), batch_size=64,
+                        num_parallel_reads=4)
+    total = sum(len(b['f0']) for b in ds)
+    assert total == 800
+
+  def test_file_partitioning(self, workdir):
+    for i in range(4):
+      write_parquet(os.path.join(workdir, f'p{i}.parquet'), seed=i)
+    pattern = os.path.join(workdir, 'p*.parquet')
+    rows = [sum(len(b['f0']) for b in
+                ParquetDataset(pattern, batch_size=64, partition_index=i,
+                               partition_count=2, num_parallel_reads=1))
+            for i in range(2)]
+    assert sum(rows) == 800
+    assert rows == [400, 400]
+
+  def test_rowgroup_partitioning_single_file(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    write_parquet(path, row_group_size=25)  # 8 row groups
+    rows = [sum(len(b['f0']) for b in
+                ParquetDataset(path, batch_size=16, partition_index=i,
+                               partition_count=4, num_parallel_reads=1))
+            for i in range(4)]
+    assert sum(rows) == 200
+
+  def test_shuffle_is_permutation(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    df = write_parquet(path)
+    got = np.concatenate(
+        [b['f0'] for b in ParquetDataset(path, batch_size=32, shuffle=True,
+                                         seed=7)])
+    assert not (got == df['f0'].values).all()
+    np.testing.assert_array_equal(np.sort(got), np.sort(df['f0'].values))
+
+  def test_dataset_namespace(self, workdir):
+    path = os.path.join(workdir, 'a.parquet')
+    write_parquet(path)
+    ds = Dataset.from_parquet(path, batch_size=16)
+    assert len(next(iter(ds))['f0']) == 16
+
+
+class TestRebatch:
+
+  def test_exact_batches_across_chunks(self):
+    chunks = [{'x': np.arange(i * 10, i * 10 + 10)} for i in range(5)]
+    out = list(rebatch(iter(chunks), 16))
+    sizes = [len(b['x']) for b in out]
+    assert sizes == [16, 16, 16, 2]
+    np.testing.assert_array_equal(np.concatenate([b['x'] for b in out]),
+                                  np.arange(50))
+
+  def test_ragged_rebatch(self):
+    def chunks():
+      for i in range(3):
+        yield {'s': Value(np.arange(6), [np.array([0, 1, 3, 6])])}
+    out = list(rebatch(chunks(), 2))
+    assert [b['s'].batch_size for b in out] == [2, 2, 2, 2, 1]
+
+  def test_buffer_take_too_many(self):
+    buf = RebatchBuffer()
+    buf.put({'x': np.arange(3)})
+    with pytest.raises(ValueError):
+      buf.take(5)
+
+  def test_mismatched_columns(self):
+    buf = RebatchBuffer()
+    with pytest.raises(ValueError):
+      buf.put({'x': np.arange(3), 'y': np.arange(4)})
+
+
+class TestDeduplicate:
+
+  def test_roundtrip(self):
+    batch = {'user': np.array([10, 10, 20, 10, 20]),
+             'age': np.array([1.0, 1.0, 2.0, 1.0, 2.0], np.float32),
+             'item': np.arange(5)}
+    dd = deduplicate(batch, value_columns=['age'], key_column='user')
+    assert len(dd['age']) == 2
+    restored = restore_deduplicated(dd, ['age'], 'restore_idx')
+    np.testing.assert_array_equal(restored['age'], batch['age'])
+    np.testing.assert_array_equal(restored['item'], batch['item'])
+
+  def test_ragged_value_column(self):
+    batch = {'key': np.array([5, 5, 9]),
+             'hist': Value(np.arange(4), [np.array([0, 2, 4, 4])])}
+    dd = deduplicate(batch, ['hist'], 'key')
+    restored = restore_deduplicated(dd, ['hist'], 'restore_idx')
+    assert [list(x) for x in restored['hist'].to_list()] == [[0, 1], [0, 1], []]
+
+
+class TestSyncReplicas:
+
+  def test_drop_remainder_passthrough_single_host(self):
+    batches = [{'x': np.arange(4)} for _ in range(3)]
+    out = list(SyncReplicasIterator(iter(batches), drop_remainder=True))
+    assert len(out) == 3
+
+  def test_non_drop_exhausts(self):
+    batches = [{'x': np.arange(4)} for _ in range(2)]
+    out = list(SyncReplicasIterator(iter(batches), drop_remainder=False))
+    assert len(out) == 2
+
+
+class TestDeviceIterator:
+
+  def test_prefetch_to_device(self):
+    import jax
+    batches = ({'x': np.full((16,), i, np.float32)} for i in range(5))
+    it = DeviceIterator(batches)
+    got = list(it)
+    assert len(got) == 5
+    assert isinstance(got[0]['x'], jax.Array)
+    assert float(got[2]['x'][0]) == 2.0
+
+  def test_producer_error_propagates(self):
+    def bad():
+      yield {'x': np.arange(8)}
+      raise RuntimeError('reader exploded')
+    it = DeviceIterator(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match='reader exploded'):
+      next(it)
+
+  def test_close_cancels(self):
+    batches = ({'x': np.arange(8)} for _ in range(100))
+    it = DeviceIterator(batches)
+    next(it)
+    it.close()
+
+
+class TestValidate:
+
+  def test_consistent(self, workdir):
+    write_parquet(os.path.join(workdir, 'a.parquet'))
+    write_parquet(os.path.join(workdir, 'b.parquet'), seed=3)
+    assert validate([os.path.join(workdir, '*.parquet')]) == []
+
+  def test_inconsistent_dtype(self, workdir):
+    write_parquet(os.path.join(workdir, 'a.parquet'))
+    pd.DataFrame({'label': [1, 2], 'f0': [1.5, 2.5],
+                  'f1': [1, 2]}).to_parquet(
+        os.path.join(workdir, 'b.parquet'))
+    problems = validate([os.path.join(workdir, '*.parquet')])
+    assert problems and any('dtype' in p for p in problems)
