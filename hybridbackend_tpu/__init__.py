@@ -18,4 +18,5 @@ from hybridbackend_tpu import data
 from hybridbackend_tpu import distribute
 from hybridbackend_tpu import embedding
 from hybridbackend_tpu import metrics
+from hybridbackend_tpu import models
 from hybridbackend_tpu import training

@@ -1,0 +1,5 @@
+from hybridbackend_tpu.training.train import (
+    TrainState, make_train_step, make_eval_step, replicate_over_mesh)
+from hybridbackend_tpu.training.optimizer import (
+    is_embedding_path, split_trees, multi_optimizer, sharding_aware_init)
+from hybridbackend_tpu.training.checkpoint import CheckpointManager
