@@ -1,0 +1,85 @@
+"""Headline benchmark: the reference's own data-loading protocol.
+
+Replicates ``/root/reference/hybridbackend/tensorflow/benchmarks/
+data_benchmark_parquet.py:40-117`` and the published table in
+``docs/data.md:265-285``: a mock Parquet file of ``batch_size * 100``
+rows × 200 int64 columns (values 0..100, SNAPPY), read in batches of
+20000 for 100 steps; report average msec/step.
+
+Reference numbers (96-vCPU Xeon 8163 + SSD): 397.88 ms/step at 1 thread,
+21.67 ms/step at 20 threads. ``vs_baseline`` compares against the
+thread-count-appropriate reference number for this host (>1 = faster).
+
+Prints ONE JSON line:
+  {"metric": "parquet_read_ms_per_step", "value": ..., "unit":
+   "ms/step", "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = 20000
+COLS = 200
+STEPS = 100
+CACHE = os.environ.get('HB_BENCH_CACHE', '/root/.cache/hbtpu_bench')
+REF_MS_1T = 397.88   # docs/data.md:279 (1 thread)
+REF_MS_20T = 21.67   # docs/data.md:280 (20 threads)
+
+
+def ensure_file() -> str:
+  path = os.path.join(CACHE, f'benchmark_{BATCH}x{COLS}.parquet')
+  if os.path.exists(path):
+    return path
+  os.makedirs(CACHE, exist_ok=True)
+  import numpy as np
+  import pyarrow as pa
+  import pyarrow.parquet as pq
+  print(f'generating mock file {path} ...', file=sys.stderr)
+  rng = np.random.RandomState(0)
+  # Write in slabs to bound memory; row_group_size matches reference
+  # pandas default behavior (1Mi rows per group would starve the
+  # parallel reader; 100k keeps 20 read units).
+  writer = None
+  rows_per_slab = BATCH * 10
+  for _ in range(10):
+    data = {f'f{c}': rng.randint(0, 100, rows_per_slab)
+            for c in range(COLS)}
+    tbl = pa.table(data)
+    if writer is None:
+      writer = pq.ParquetWriter(path, tbl.schema, compression='snappy')
+    writer.write_table(tbl, row_group_size=BATCH)
+  writer.close()
+  return path
+
+
+def main():
+  path = ensure_file()
+  from hybridbackend_tpu.data import ParquetDataset
+
+  threads = min(os.cpu_count() or 1, 20)
+  ds = ParquetDataset(path, batch_size=BATCH, drop_remainder=True,
+                      num_parallel_reads=threads)
+  # Warm one batch (open readers, fault in the page cache head).
+  it = iter(ds)
+  next(it)
+
+  start = time.time()
+  count = 1
+  for batch in it:
+    count += 1
+  duration = time.time() - start
+  ms_per_step = 1000.0 * duration / (count - 1)
+
+  ref = REF_MS_20T if threads >= 20 else REF_MS_1T
+  print(json.dumps({
+      'metric': 'parquet_read_ms_per_step',
+      'value': round(ms_per_step, 2),
+      'unit': 'ms/step',
+      'vs_baseline': round(ref / ms_per_step, 2),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -142,6 +142,7 @@ class ParquetDataset:
     if num_parallel_reads is None:
       num_parallel_reads = int(OPTIONS['data_num_parallel_reads'])
     self._threads = num_parallel_reads
+    self._tls = threading.local()
 
   @property
   def fields(self) -> List[Field]:
@@ -160,89 +161,86 @@ class ParquetDataset:
       return self._files[self._partition_index::self._partition_count]
     return self._files  # fall through to row-group partitioning
 
-  def _iter_micro_batches(self) -> Iterator[Batch]:
-    """Yield raw micro-batches (one per row group) as column dicts."""
+  def _tasks(self):
+    """Enumerate (filename, chunk_index) read units: one per Parquet row
+    group / ORC stripe, honoring the host partition."""
     names = [f.name for f in self._fields]
     partition_groups = (self._partition_count > 1
                         and len(self._files) < self._partition_count)
+    for fname in self._my_files():
+      if self._format == 'orc':
+        import pyarrow.orc as po
+        n_chunks = po.ORCFile(fname).nstripes
+      else:
+        import pyarrow.parquet as pq
+        n_chunks = pq.ParquetFile(fname).num_row_groups
+      for c in range(n_chunks):
+        if partition_groups and (
+            c % self._partition_count != self._partition_index):
+          continue
+        yield fname, c, names
+
+  def _read_chunk(self, fname: str, chunk: int, names: List[str]) -> Batch:
+    """Read one row group / stripe (pyarrow releases the GIL; the actual
+    decode is Arrow C++, the reference's reader core)."""
+    reader = self._open_file(fname)
+    if self._format == 'orc':
+      tbl = reader.read_stripe(chunk, columns=names)
+    else:
+      tbl = reader.read_row_group(chunk, columns=names,
+                                  use_threads=False)
+    return {n: from_arrow(tbl.column(n)) for n in names}
+
+  def _open_file(self, fname: str):
+    # One reader handle per (thread, file): ParquetFile is not
+    # documented thread-safe for concurrent reads.
+    local = self._tls
+    cache = getattr(local, 'readers', None)
+    if cache is None:
+      cache = local.readers = {}
+    r = cache.get(fname)
+    if r is None:
+      if self._format == 'orc':
+        import pyarrow.orc as po
+        r = po.ORCFile(fname)
+      else:
+        import pyarrow.parquet as pq
+        r = pq.ParquetFile(fname)
+      cache[fname] = r
+    return r
+
+  def _iter_micro_batches(self) -> Iterator[Batch]:
+    """Yield micro-batches (one per row group / stripe), deterministic
+    order, decoded by a thread pool (reference: AUTOTUNE thread
+    budgeting + parallel interleave, ``table.py:94-178``)."""
     threads = self._threads
     if threads == 0:
       import os as _os
-      threads = max(1, min(len(self._my_files()),
-                           (_os.cpu_count() or 2) // 2, 8))
+      threads = max(1, min((_os.cpu_count() or 2), 16))
     if threads <= 1:
-      for fname in self._my_files():
-        yield from self._read_file(fname, names, partition_groups)
+      for fname, chunk, names in self._tasks():
+        yield self._read_chunk(fname, chunk, names)
       return
-    # Pipelined parallel reads: N worker threads each own a file and
-    # push micro-batches into a bounded queue (reference: parallel
-    # interleave, ``table.py:159-178``).
-    q: _queue.Queue = _queue.Queue(maxsize=threads * 2)
-    stop = threading.Event()
-    files = list(self._my_files())
-    file_iter = iter(files)
-    lock = threading.Lock()
-
-    def worker():
+    # Ordered pipelined decode: keep up to 2*threads reads in flight,
+    # emit strictly in task order (determinism + parallelism).
+    import collections
+    with concurrent.futures.ThreadPoolExecutor(threads) as pool:
+      window: collections.deque = collections.deque()
+      tasks = self._tasks()
       try:
-        while not stop.is_set():
-          with lock:
-            fname = next(file_iter, None)
-          if fname is None:
+        for _ in range(2 * threads):
+          t = next(tasks, None)
+          if t is None:
             break
-          for mb in self._read_file(fname, names, partition_groups):
-            if stop.is_set():
-              return
-            q.put(mb)
-      except BaseException as e:  # propagate to consumer
-        q.put(e)
+          window.append(pool.submit(self._read_chunk, *t))
+        while window:
+          yield window.popleft().result()
+          t = next(tasks, None)
+          if t is not None:
+            window.append(pool.submit(self._read_chunk, *t))
       finally:
-        q.put(None)
-
-    workers = [threading.Thread(target=worker, daemon=True)
-               for _ in range(threads)]
-    for w in workers:
-      w.start()
-    done = 0
-    try:
-      while done < len(workers):
-        item = q.get()
-        if item is None:
-          done += 1
-          continue
-        if isinstance(item, BaseException):
-          raise item
-        yield item
-    finally:
-      stop.set()
-      # Drain so producers unblock.
-      while any(w.is_alive() for w in workers):
-        try:
-          q.get_nowait()
-        except _queue.Empty:
-          break
-
-  def _read_file(self, fname: str, names: List[str],
-                 partition_groups: bool) -> Iterator[Batch]:
-    if self._format == 'orc':
-      import pyarrow.orc as po
-      f = po.ORCFile(fname)
-      for s in range(f.nstripes):
-        if partition_groups and (
-            s % self._partition_count != self._partition_index):
-          continue
-        tbl = f.read_stripe(s, columns=names)
-        yield {n: from_arrow(tbl.column(n)) for n in names}
-      return
-    import pyarrow.parquet as pq
-    pf = pq.ParquetFile(fname)
-    groups = range(pf.num_row_groups)
-    if partition_groups:
-      groups = [g for g in groups
-                if g % self._partition_count == self._partition_index]
-    for g in groups:
-      tbl = pf.read_row_group(g, columns=names)
-      yield {n: from_arrow(tbl.column(n)) for n in names}
+        for f in window:
+          f.cancel()
 
   def __iter__(self) -> Iterator[Batch]:
     from hybridbackend_tpu.data.rebatch import rebatch
