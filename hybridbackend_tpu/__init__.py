@@ -17,6 +17,9 @@ from hybridbackend_tpu.framework.options import OPTIONS
 from hybridbackend_tpu import data
 from hybridbackend_tpu import distribute
 from hybridbackend_tpu import embedding
+from hybridbackend_tpu import estimator
 from hybridbackend_tpu import metrics
 from hybridbackend_tpu import models
+from hybridbackend_tpu import pipeline
 from hybridbackend_tpu import training
+from hybridbackend_tpu.estimator import Trainer

@@ -85,6 +85,13 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   elif strategy == 'alltoall':
     body = functools.partial(_lookup_alltoall, axes=axes, world=world,
                              rows_per_shard=rows_per_shard)
+  elif strategy == 'hierarchical':
+    if len(axes) != 2:
+      raise ValueError('hierarchical lookup needs a 2-axis (dcn, ici) mesh')
+    body = functools.partial(
+        _lookup_hierarchical, dcn_axis=axes[0], ici_axis=axes[1],
+        dcn_size=ctx.mesh.shape[axes[0]], ici_size=ctx.mesh.shape[axes[1]],
+        rows_per_shard=rows_per_shard)
   else:
     raise ValueError(f'Unknown lookup strategy: {strategy!r}')
 
@@ -132,6 +139,50 @@ def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard):
   # allgather and gspmd strategies).
   owner = ids_local // rows_per_shard
   valid = (owner >= 0) & (owner < world)
+  return jnp.where(valid[:, None], out, 0)
+
+
+def _lookup_hierarchical(shard, ids_local, *, dcn_axis, ici_axis,
+                         dcn_size, ici_size, rows_per_shard):
+  """Two-stage topology-aware exchange (reference ``sharding.py:207-278``,
+  dual-modulo): ids travel (a,b) --ICI--> (a,b') --DCN--> (a',b') where
+  the owner device of a row is (a', b'). The intra-node hop rides ICI
+  bandwidth; only owner-column traffic crosses DCN — the reference's
+  hierarchical alltoallv, with static-capacity buckets.
+  """
+  world = dcn_size * ici_size
+  my_dcn = jax.lax.axis_index(dcn_axis)
+  me = my_dcn * ici_size + jax.lax.axis_index(ici_axis)
+  d = shard.shape[1]
+
+  owner = ids_local // rows_per_shard
+  valid = (owner >= 0) & (owner < world)
+
+  # Stage 0 (ICI): route each id to the local device whose ici position
+  # matches the owner's ici position.
+  p0 = partition_by_fn(ids_local, ici_size,
+                       lambda x: (x // rows_per_shard) % ici_size,
+                       fill_value=0)
+  r0, s0 = all_to_all_v_t(p0.buckets, p0.sizes, ici_axis)   # [ici, n]
+  ids1 = r0.reshape(-1)
+
+  # Stage 1 (DCN): route to the owner's dcn position.
+  p1 = partition_by_fn(ids1, dcn_size,
+                       lambda x: jnp.clip(x // rows_per_shard, 0,
+                                          world - 1) // ici_size,
+                       fill_value=0)
+  r1, s1 = all_to_all_v_t(p1.buckets, p1.sizes, dcn_axis)   # [dcn, cap1]
+
+  # Local gather on the owner shard.
+  local = jnp.clip(r1 - me * rows_per_shard, 0, rows_per_shard - 1)
+  emb1 = jnp.take(shard, local, axis=0, mode='clip')        # [dcn, cap1, D]
+
+  # Reverse stage 1 (DCN) then reverse stage 0 (ICI).
+  b1, _ = all_to_all_v_t(emb1, s1, dcn_axis)                # [dcn, cap1, D]
+  emb_ids1 = jnp.take(b1.reshape(-1, d), p1.restore, axis=0)
+  emb0 = emb_ids1.reshape(ici_size, -1, d)                  # [ici, n, D]
+  b0, _ = all_to_all_v_t(emb0, s0, ici_axis)                # [ici, n, D]
+  out = jnp.take(b0.reshape(-1, d), p0.restore, axis=0)     # [b, D]
   return jnp.where(valid[:, None], out, 0)
 
 

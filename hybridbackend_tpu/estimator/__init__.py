@@ -1,0 +1,219 @@
+"""High-level Trainer: train / evaluate / train_and_evaluate / export.
+
+TPU-native re-design of the reference's wrapped Estimator
+(``/root/reference/hybridbackend/tensorflow/estimator/estimator.py:73-577``)
+and in-training ``EvaluationHook``
+(``training/evaluation.py:111-327``). Instead of wrapping a TF Estimator
+with monkey-patched RunConfig/model_fn, the Trainer owns the explicit
+pieces: a loss function, an optax optimizer, the TrainState, checkpoint
+management, hooks, sync-replica iteration, and a jitted eval loop that
+reuses the training params (the reference's same-session eval graph).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import hybridbackend_tpu.metrics as hbm
+from hybridbackend_tpu.data.prefetch import DeviceIterator
+from hybridbackend_tpu.data.sync import SyncReplicasIterator
+from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
+from hybridbackend_tpu.training.checkpoint import CheckpointManager
+from hybridbackend_tpu.training.hooks import Hook, LoggingHook, StepStatHook
+from hybridbackend_tpu.training.train import (
+    TrainState, make_eval_step, make_train_step)
+
+LOG = logging.getLogger('hybridbackend_tpu')
+
+OPTIONS.register('save_checkpoint_steps', 0, env='HB_SAVE_CHECKPOINT_STEPS',
+                 doc='Checkpoint every N steps (0 = only at end).')
+
+
+class Trainer:
+  """Owns the full training lifecycle for one model.
+
+  Args:
+    loss_fn: ``(params, batch) -> (scalar_loss, aux_dict)``. ``aux_dict``
+      should include ``'preds'`` for the built-in eval metrics.
+    params: initial parameter pytree (tables + dense net).
+    optimizer: optax transformation; default Adagrad(0.1) on everything.
+    model_dir: checkpoint/summary directory (restores latest on init).
+    label_key: batch key with labels for the built-in binary-CTR eval.
+  """
+
+  def __init__(self, loss_fn: Callable, params: Any,
+               optimizer: Optional[optax.GradientTransformation] = None,
+               model_dir: Optional[str] = None,
+               ctx: Optional[Context] = None,
+               label_key: str = 'label',
+               group_key: Optional[str] = None):
+    self._ctx = ctx or Context.get()
+    self._loss_fn = loss_fn
+    self._label_key = label_key
+    self._group_key = group_key
+    if optimizer is None:
+      optimizer = optax.adagrad(0.1)
+    self._optimizer = optimizer
+    self.state = TrainState.create(params, optimizer, self._ctx)
+    self._step_fn = make_train_step(loss_fn, optimizer, self._ctx)
+    self._eval_fn = make_eval_step(
+        lambda p, b: loss_fn(p, b), self._ctx)
+    model_dir = model_dir or OPTIONS['model_dir']
+    self._ckpt: Optional[CheckpointManager] = None
+    if model_dir and model_dir != '.':
+      self._ckpt = CheckpointManager(model_dir)
+      restored = self._ckpt.restore(self.state)
+      if restored is not self.state:
+        LOG.info('restored checkpoint at step %s',
+                 int(np.asarray(restored.step)))
+      self.state = restored
+
+  @property
+  def params(self):
+    return self.state.params
+
+  @property
+  def global_step(self) -> int:
+    return int(np.asarray(self.state.step))
+
+  # -- training ------------------------------------------------------------
+
+  def train(self, batches: Iterable[Dict[str, np.ndarray]],
+            max_steps: Optional[int] = None,
+            hooks: Sequence[Hook] = (),
+            sync: bool = True,
+            prefetch: bool = True,
+            save_checkpoint_steps: Optional[int] = None,
+            eval_every_n_steps: Optional[int] = None,
+            eval_batches_fn: Optional[Callable[[], Iterable]] = None
+            ) -> Dict[str, float]:
+    """Run the training loop; returns the last step's metrics.
+
+    ``eval_every_n_steps`` + ``eval_batches_fn`` give in-training eval
+    (reference EvaluationHook): every N steps the Trainer runs a full
+    evaluation pass on a fresh eval iterator and logs the results.
+    """
+    if save_checkpoint_steps is None:
+      save_checkpoint_steps = int(OPTIONS['save_checkpoint_steps'])
+    it: Iterator = iter(batches)
+    if sync:
+      it = SyncReplicasIterator(it, ctx=self._ctx)
+    if prefetch:
+      it = DeviceIterator(it, ctx=self._ctx)
+    hooks = list(hooks)
+    for h in hooks:
+      h.begin()
+    metrics: Dict[str, float] = {}
+    steps_done = 0
+    try:
+      for batch in it:
+        if max_steps is not None and steps_done >= max_steps:
+          break
+        step_no = self.global_step
+        for h in hooks:
+          h.before_step(step_no)
+        self.state, m = self._step_fn(self.state, batch)
+        metrics = {k: v for k, v in m.items() if k != 'preds'}
+        steps_done += 1
+        step_no += 1
+        for h in hooks:
+          h.after_step(step_no, metrics)
+        if (self._ckpt and save_checkpoint_steps
+            and step_no % save_checkpoint_steps == 0):
+          self._ckpt.save(step_no, self.state)
+        if (eval_every_n_steps and eval_batches_fn
+            and step_no % eval_every_n_steps == 0):
+          results = self.evaluate(eval_batches_fn())
+          LOG.info('eval @ step %d: %s', step_no, results)
+    finally:
+      if isinstance(it, DeviceIterator):
+        it.close()
+      for h in hooks:
+        h.end(self.global_step)
+      if self._ckpt:
+        self._ckpt.save(self.global_step, self.state)
+    return {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
+
+  # -- evaluation ------------------------------------------------------------
+
+  def evaluate(self, batches: Iterable[Dict[str, np.ndarray]],
+               prefetch: bool = True) -> Dict[str, float]:
+    """Full-pass evaluation with globally exact metrics (AUC, loss mean,
+    and GAUC when ``group_key`` is set). Reference: separate eval graph
+    over the same variables (``evaluation.py:111-327``)."""
+    it: Iterator = iter(batches)
+    it = SyncReplicasIterator(it, drop_remainder=False, ctx=self._ctx)
+    if prefetch:
+      it = DeviceIterator(it, ctx=self._ctx)
+    auc_s = hbm.auc_init()
+    loss_s = hbm.mean_init()
+    gauc_s = hbm.gauc_init()
+    n = 0
+    for batch in it:
+      labels = batch[self._label_key]
+      if labels.shape[0] == 0:
+        continue
+      loss, aux = self._eval_fn(self.state.params, batch)
+      preds = aux['preds']
+      auc_s = hbm.auc_update(auc_s, labels, preds)
+      loss_s = hbm.mean_update(loss_s, loss[None],
+                               jnp.asarray([labels.shape[0]], jnp.float32))
+      if self._group_key is not None:
+        gauc_s = hbm.gauc_update(gauc_s, labels, preds,
+                                 batch[self._group_key])
+      n += 1
+    out = {
+        'auc': float(hbm.auc_result(auc_s)),
+        'loss': float(hbm.mean_result(loss_s)),
+        'batches': float(n),
+    }
+    if self._group_key is not None:
+      out['gauc'] = float(hbm.gauc_result(gauc_s))
+    return out
+
+  def train_and_evaluate(self, train_batches_fn: Callable[[], Iterable],
+                         eval_batches_fn: Callable[[], Iterable],
+                         epochs: int = 1,
+                         max_steps_per_epoch: Optional[int] = None,
+                         hooks: Sequence[Hook] = ()) -> Dict[str, float]:
+    """Alternate epochs of training with full evaluations
+    (reference ``estimator.py:288-340``)."""
+    results: Dict[str, float] = {}
+    for ep in range(epochs):
+      self.train(train_batches_fn(), max_steps=max_steps_per_epoch,
+                 hooks=hooks)
+      results = self.evaluate(eval_batches_fn())
+      LOG.info('epoch %d eval: %s', ep, results)
+    return results
+
+  def predict(self, batches: Iterable[Dict[str, np.ndarray]],
+              prefetch: bool = True) -> Iterator[np.ndarray]:
+    """Yield per-batch predictions (reference ``estimator.py:511``)."""
+    it: Iterator = iter(batches)
+    if prefetch:
+      it = DeviceIterator(it, ctx=self._ctx)
+    for batch in it:
+      _, aux = self._eval_fn(self.state.params, batch)
+      yield np.asarray(aux['preds'])
+
+  # -- export ------------------------------------------------------------
+
+  def export_saved_model(self, path: str, example_batch) -> str:
+    """Serialize the serving function (reference ``saved_model.py:54-192``;
+    chief-only, like rank0-only export there)."""
+    from hybridbackend_tpu.training.saved_model import export
+    if self._ctx.is_chief:
+      export(lambda p, b: self._loss_fn(p, b)[1]['preds'],
+             self.state.params, example_batch, path)
+    return path
+
+
+__all__ = ['Trainer']

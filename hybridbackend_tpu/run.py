@@ -1,0 +1,115 @@
+"""Launcher: ``python -m hybridbackend_tpu.run [options] script.py ...``.
+
+TPU-native re-design of the reference launcher
+(``/root/reference/hybridbackend/run.py:65-228``), which spawns one
+process per visible GPU and synthesizes per-process ``TF_CONFIG``. On
+TPU the unit is one process per *host*:
+
+* On a real TPU pod slice, ``jax.distributed.initialize()`` discovers
+  the topology from the TPU metadata — the launcher just initializes and
+  executes the script.
+* ``--simulate N`` locally forks N processes, each with its own
+  process_id and a shared coordinator, on CPU devices — the reference's
+  per-GPU spawn repurposed for multi-host testing without hardware
+  (same role as its test ``Spawn``, ``common/test.py:36-152``).
+
+Failure semantics match the reference (``run.py:215-228``): if any child
+exits non-zero, the launcher kills the remaining children and exits
+non-zero.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import runpy
+import signal
+import socket
+import subprocess
+import sys
+
+
+def _pick_port() -> int:
+  s = socket.socket()
+  s.bind(('127.0.0.1', 0))
+  port = s.getsockname()[1]
+  s.close()
+  return port
+
+
+def _run_script(argv):
+  sys.argv = argv
+  runpy.run_path(argv[0], run_name='__main__')
+
+
+def main():
+  parser = argparse.ArgumentParser(
+      description='hybridbackend_tpu launcher', add_help=True)
+  parser.add_argument('--simulate', type=int, default=0, metavar='N',
+                      help='fork N local CPU processes (multi-host sim)')
+  parser.add_argument('--devices-per-process', type=int, default=1,
+                      help='virtual CPU devices per simulated process')
+  parser.add_argument('--no-distributed', action='store_true',
+                      help='skip jax.distributed.initialize()')
+  parser.add_argument('script')
+  parser.add_argument('args', nargs=argparse.REMAINDER)
+  opts = parser.parse_args()
+
+  if opts.simulate > 0 and 'HB_RUN_PROCESS_ID' not in os.environ:
+    port = int(os.environ.get('HB_RUN_BASE_PORT', 0)) or _pick_port()
+    coord = f'127.0.0.1:{port}'
+    procs = []
+    for rank in range(opts.simulate):
+      env = dict(os.environ)
+      env.update({
+          'HB_RUN_PROCESS_ID': str(rank),
+          'HB_RUN_NUM_PROCESSES': str(opts.simulate),
+          'HB_RUN_COORDINATOR': coord,
+          'JAX_PLATFORMS': 'cpu',
+          'XLA_FLAGS': (env.get('XLA_FLAGS', '') +
+                        f' --xla_force_host_platform_device_count='
+                        f'{opts.devices_per_process}').strip(),
+      })
+      procs.append(subprocess.Popen(
+          [sys.executable, '-m', 'hybridbackend_tpu.run', opts.script]
+          + opts.args, env=env))
+    import time
+    code = 0
+    try:
+      # Poll all children so any failure is noticed immediately and the
+      # rest are killed (reference run.py:215-228 semantics).
+      live = list(procs)
+      while live and code == 0:
+        for p in list(live):
+          rc = p.poll()
+          if rc is None:
+            continue
+          live.remove(p)
+          code = code or rc
+        time.sleep(0.1)
+    finally:
+      for p in procs:
+        if p.poll() is None:
+          p.send_signal(signal.SIGTERM)
+      for p in procs:
+        p.wait()
+    sys.exit(code)
+
+  # Child (or direct) execution path.
+  if not opts.no_distributed:
+    import jax
+    if 'HB_RUN_PROCESS_ID' in os.environ:
+      jax.distributed.initialize(
+          coordinator_address=os.environ['HB_RUN_COORDINATOR'],
+          num_processes=int(os.environ['HB_RUN_NUM_PROCESSES']),
+          process_id=int(os.environ['HB_RUN_PROCESS_ID']))
+    else:
+      try:
+        jax.distributed.initialize()
+      except Exception:  # single-process / no cluster metadata
+        pass
+  _run_script([opts.script] + opts.args)
+
+
+if __name__ == '__main__':
+  main()

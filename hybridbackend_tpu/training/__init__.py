@@ -3,3 +3,5 @@ from hybridbackend_tpu.training.train import (
 from hybridbackend_tpu.training.optimizer import (
     is_embedding_path, split_trees, multi_optimizer, sharding_aware_init)
 from hybridbackend_tpu.training.checkpoint import CheckpointManager
+from hybridbackend_tpu.training.hooks import (
+    Hook, StepStatHook, Policy, LoggingHook)

@@ -1,0 +1,124 @@
+"""Training hooks: step stats and timer-driven policies.
+
+TPU-native parity with the reference's ``Policy``/``StepStatHook``
+(``/root/reference/hybridbackend/tensorflow/training/hooks.py:36-321``):
+``StepStatHook`` logs secs/step percentiles (p10/p50/p90) and
+samples/sec; ``Policy`` invokes a callback every N steps or T seconds.
+Hooks are plain objects driven by the Trainer loop — no session magic.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+LOG = logging.getLogger('hybridbackend_tpu')
+
+
+class Hook:
+  """Training-loop hook interface."""
+
+  def begin(self) -> None:
+    pass
+
+  def before_step(self, step: int) -> None:
+    pass
+
+  def after_step(self, step: int, metrics: Dict[str, Any]) -> None:
+    pass
+
+  def end(self, step: int) -> None:
+    pass
+
+
+class StepStatHook(Hook):
+  """Step-time/throughput percentiles (reference ``hooks.py:231-321``)."""
+
+  def __init__(self, batch_size: Optional[int] = None,
+               every_n_steps: int = 100, warmup_steps: int = 1,
+               log: Callable[[str], None] = LOG.info):
+    self._batch_size = batch_size
+    self._every_n = every_n_steps
+    self._warmup = warmup_steps
+    self._log = log
+    self._durations: list = []
+    self._count = 0
+    self._prev: Optional[float] = None
+
+  @property
+  def durations(self) -> np.ndarray:
+    return np.asarray(self._durations)
+
+  def before_step(self, step: int) -> None:
+    self._prev = time.perf_counter()
+
+  def after_step(self, step: int, metrics: Dict[str, Any]) -> None:
+    if self._prev is None:
+      return
+    dt = time.perf_counter() - self._prev
+    self._count += 1
+    if self._count <= self._warmup:
+      return
+    self._durations.append(dt)
+    if self._every_n and len(self._durations) % self._every_n == 0:
+      self._report()
+
+  def _report(self) -> None:
+    if not self._durations:
+      return
+    d = np.asarray(self._durations)
+    p10, p50, p90 = np.percentile(d, [10, 50, 90])
+    msg = (f'secs/step: p10={p10:.4f} p50={p50:.4f} p90={p90:.4f}')
+    if self._batch_size:
+      msg += f', samples/sec p50={self._batch_size / p50:,.0f}'
+    self._log(msg)
+
+  def end(self, step: int) -> None:
+    self._report()
+
+
+class Policy(Hook):
+  """Invoke ``callback(step, metrics)`` every N steps and/or T seconds
+  (reference ``Policy``/``Policy.Trigger``, ``hooks.py:36-160``)."""
+
+  def __init__(self, callback: Callable[[int, Dict[str, Any]], None],
+               every_n_steps: Optional[int] = None,
+               every_n_secs: Optional[float] = None):
+    if every_n_steps is None and every_n_secs is None:
+      raise ValueError('Policy needs every_n_steps and/or every_n_secs')
+    self._cb = callback
+    self._every_n = every_n_steps
+    self._every_s = every_n_secs
+    self._last_t = time.time()
+
+  def after_step(self, step: int, metrics: Dict[str, Any]) -> None:
+    fire = False
+    if self._every_n and step > 0 and step % self._every_n == 0:
+      fire = True
+    if self._every_s and (time.time() - self._last_t) >= self._every_s:
+      fire = True
+    if fire:
+      self._last_t = time.time()
+      self._cb(step, metrics)
+
+
+class LoggingHook(Policy):
+  """Log loss/metrics every N steps."""
+
+  def __init__(self, every_n_steps: int = 100,
+               log: Callable[[str], None] = LOG.info):
+    def _cb(step, metrics):
+      parts = []
+      for k, v in sorted(metrics.items()):
+        try:
+          parts.append(f'{k}={float(np.asarray(v).mean()):.5f}')
+        except (TypeError, ValueError):
+          continue
+      log(f'step {step}: ' + ', '.join(parts))
+    super().__init__(_cb, every_n_steps=every_n_steps)
+
+
+__all__ = ['Hook', 'StepStatHook', 'Policy', 'LoggingHook']

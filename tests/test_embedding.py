@@ -52,7 +52,7 @@ class TestShardPolicy:
     assert len(table.sharding.device_set) == 8
 
 
-@pytest.mark.parametrize('strategy', ['allgather', 'alltoall', 'gspmd'])
+@pytest.mark.parametrize('strategy', ['allgather', 'alltoall', 'gspmd', 'hierarchical'])
 class TestLookupStrategies:
 
   def test_matches_dense_gather(self, strategy):
@@ -116,6 +116,8 @@ class TestShuffledIds:
     ids = jnp.asarray([0, 1, 2, 3] * 8, dtype=jnp.int32)
     out1 = lookup(table, ids, cfg, strategy='allgather')
     out2 = lookup(table, ids, cfg, strategy='alltoall')
+    out3 = lookup(table, ids, cfg, strategy='hierarchical')
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out3), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
     # Same id → same row, different ids → (almost surely) different rows.
     rows = cfg.row_index(jnp.arange(16, dtype=jnp.int32))
