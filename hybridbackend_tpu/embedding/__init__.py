@@ -2,3 +2,5 @@ from hybridbackend_tpu.embedding.table import (
     TableConfig, create_table, default_initializer)
 from hybridbackend_tpu.embedding.lookup import lookup, lookup_sparse
 from hybridbackend_tpu.embedding.unique import unique, UniqueResult
+from hybridbackend_tpu.embedding.stack import (
+    TableStack, build_stacks, create_stacked_tables, stacked_lookup)

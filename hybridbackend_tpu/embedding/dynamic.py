@@ -1,0 +1,112 @@
+"""Dynamic (hash-table) embeddings: DeepRec EmbeddingVariable parity.
+
+TPU-native re-design of the reference's DeepRec EV backend
+(``/root/reference/hybridbackend/tensorflow/embedding/deeprecev.py:29-65``):
+DeepRec's ``get_embedding_variable`` is a growing hash table keyed by
+raw (unhashed, unbounded) feature ids; the reference row-shards it like
+a dense table but skips the ``ids // num_shards`` index division
+(``isdynamic=True``).
+
+On TPU the device table must be static-shaped, so the dynamic part —
+the id→row hash map — lives on the host (the input pipeline touches
+every id there anyway; this is also where DeepRec keeps its hash map,
+just on the trainer CPU). Rows are assigned on first touch, with an
+optional admission filter (DeepRec's counter-based feature filter:
+an id must be seen ``min_count`` times before it gets a row; cold ids
+read as zeros and take no gradient).
+
+The device table is an ordinary (shardable) parameter of static
+capacity; ``map_ids`` is called on host batches (e.g. as a
+``DeviceIterator`` transform) to translate raw ids into table rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, Optional
+
+import numpy as np
+
+from hybridbackend_tpu.embedding.table import TableConfig
+
+
+class IdMapper:
+  """Host-side growing map from raw int64 ids to dense table rows."""
+
+  def __init__(self, capacity: int, min_count: int = 1):
+    self.capacity = int(capacity)
+    self.min_count = int(min_count)
+    self._map: Dict[int, int] = {}
+    self._counts: Counter = Counter()
+    self._next = 0
+
+  @property
+  def size(self) -> int:
+    return self._next
+
+  def map_ids(self, ids: np.ndarray, train: bool = True) -> np.ndarray:
+    """Translate raw ids → rows; unadmitted/unknown ids map to -1
+    (looked up as zeros by every lookup strategy's out-of-range
+    contract)."""
+    ids = np.asarray(ids)
+    flat = ids.reshape(-1)
+    out = np.empty(flat.shape, np.int64)
+    for j, raw in enumerate(flat.tolist()):
+      row = self._map.get(raw, -1)
+      if row < 0 and train:
+        if self.min_count > 1:
+          self._counts[raw] += 1
+          if self._counts[raw] < self.min_count:
+            out[j] = -1
+            continue
+          del self._counts[raw]
+        if self._next >= self.capacity:
+          out[j] = -1  # table full: treat as cold (reference EV would
+          continue      # grow; static capacity is the TPU tradeoff)
+        row = self._next
+        self._next += 1
+        self._map[raw] = row
+      out[j] = row
+    return out.reshape(ids.shape)
+
+  def state_dict(self) -> Dict[str, np.ndarray]:
+    """Serializable mapping state (checkpoint alongside the table)."""
+    items = np.asarray(sorted(self._map.items()), np.int64).reshape(-1, 2)
+    return {'ids': items[:, 0], 'rows': items[:, 1],
+            'next': np.asarray([self._next], np.int64)}
+
+  @classmethod
+  def from_state_dict(cls, capacity: int, state: Dict[str, np.ndarray],
+                      min_count: int = 1) -> 'IdMapper':
+    m = cls(capacity, min_count)
+    m._map = {int(i): int(r) for i, r in zip(state['ids'], state['rows'])}
+    m._next = int(state['next'][0])
+    return m
+
+
+class DynamicEmbedding:
+  """A static-capacity table + host IdMapper = dynamic-vocab embedding.
+
+  Usage::
+
+      dyn = DynamicEmbedding('user_id', capacity=1_000_000, dim=32)
+      table = create_table(dyn.config, rng)        # ordinary sharded param
+      batch['user_id'] = dyn.mapper.map_ids(batch['user_id'])  # on host
+      emb = lookup(table, batch['user_id'], dyn.config)
+  """
+
+  def __init__(self, name: str, capacity: int, dim: int,
+               min_count: int = 1, **config_kwargs):
+    self.config = TableConfig(name, capacity, dim, **config_kwargs)
+    self.mapper = IdMapper(capacity, min_count=min_count)
+
+  def transform(self, column: str):
+    """A ``DeviceIterator(transform=...)`` mapping the raw-id column."""
+    def _apply(batch):
+      batch = dict(batch)
+      batch[column] = self.mapper.map_ids(batch[column])
+      return batch
+    return _apply
+
+
+__all__ = ['IdMapper', 'DynamicEmbedding']

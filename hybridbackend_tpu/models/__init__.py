@@ -1,5 +1,5 @@
 from hybridbackend_tpu.models.feature import (
-    EmbeddingSpec, extract_features, init_tables)
+    EmbeddingSpec, StackedFeatureExtractor, extract_features, init_tables)
 from hybridbackend_tpu.models.layers import (
     dense_apply, dense_init, mlp_apply, mlp_init)
 from hybridbackend_tpu.models.ranking import (

@@ -83,4 +83,78 @@ def extract_features(tables: Dict[str, jax.Array],
   return emb_features, dense_features
 
 
-__all__ = ['EmbeddingSpec', 'init_tables', 'extract_features']
+class StackedFeatureExtractor:
+  """Feature extraction with table stacking: ALL same-dim tables share
+  one physical table and one collective exchange per step (PICASSO-style
+  packing; see ``embedding/stack.py``). Drop-in upgrade over
+  :func:`extract_features` for models with many categorical columns.
+  """
+
+  def __init__(self, specs: Sequence[EmbeddingSpec],
+               dense_columns: Sequence[str] = (),
+               ctx: Optional[Context] = None):
+    from hybridbackend_tpu.embedding.stack import build_stacks
+    self.specs = list(specs)
+    self.dense_columns = list(dense_columns)
+    self._ctx = ctx
+    self.stacks = build_stacks([s.config for s in specs], ctx)
+    self._stack_of = {}
+    for stack in self.stacks:
+      for cfg in stack.configs:
+        self._stack_of[cfg.name] = stack
+
+  def init(self, rng: jax.Array) -> Dict[str, jax.Array]:
+    from hybridbackend_tpu.embedding.stack import create_stacked_tables
+    return create_stacked_tables(self.stacks, rng, self._ctx)
+
+  def __call__(self, tables: Dict[str, jax.Array],
+               batch: Dict[str, jax.Array],
+               strategy: Optional[str] = None
+               ) -> Tuple[List[jax.Array], List[jax.Array]]:
+    from hybridbackend_tpu.embedding.stack import stacked_lookup
+    by_spec_name = {s.config.name: s for s in self.specs}
+    raw: Dict[str, jax.Array] = {}
+    for stack in self.stacks:
+      ids_by_name = {}
+      for cfg in stack.configs:
+        spec = by_spec_name[cfg.name]
+        if spec.key in batch:
+          ids_by_name[cfg.name] = batch[spec.key]
+      if not ids_by_name:
+        continue
+      raw.update(stacked_lookup(stack, tables[stack.stacked.name],
+                                ids_by_name, ctx=self._ctx,
+                                strategy=strategy))
+    emb_features = []
+    for spec in self.specs:
+      emb = raw[spec.config.name]
+      mask_key = spec.key + '_mask'
+      if emb.ndim == 3:
+        if mask_key in batch:
+          m = batch[mask_key].astype(emb.dtype)
+        else:
+          m = jnp.ones(emb.shape[:2], emb.dtype)
+        combiner = spec.config.combiner
+        total = jnp.sum(emb * m[..., None], axis=-2)
+        if combiner == 'sum':
+          emb = total
+        elif combiner == 'mean':
+          emb = total / jnp.maximum(
+              jnp.sum(m, axis=-1, keepdims=True), 1e-9)
+        elif combiner == 'sqrtn':
+          emb = total / jnp.sqrt(jnp.maximum(
+              jnp.sum(m, axis=-1, keepdims=True), 1e-9))
+        else:
+          raise ValueError(f'Unknown combiner: {combiner!r}')
+      emb_features.append(emb)
+    dense_features = []
+    for col in self.dense_columns:
+      v = batch[col]
+      if v.ndim == 1:
+        v = v[:, None]
+      dense_features.append(v.astype(jnp.float32))
+    return emb_features, dense_features
+
+
+__all__ = ['EmbeddingSpec', 'init_tables', 'extract_features',
+           'StackedFeatureExtractor']
