@@ -119,6 +119,10 @@ class Value:
     if max_len is None:
       m = int(lengths.max()) if n else 1
       max_len = 1 << max(0, (m - 1)).bit_length()  # pow2 bucket
+    from hybridbackend_tpu import native
+    fast = native.ragged_to_padded(self.values, splits, max_len, pad_value)
+    if fast is not None:
+      return fast
     inner = self.values.shape[1:]
     padded = np.full((n, max_len) + inner, pad_value, self.values.dtype)
     mask = np.zeros((n, max_len), np.bool_)
@@ -247,9 +251,14 @@ def concat_columns(cols: Sequence[Column]) -> Column:
 
 def take_rows(col: Column, indices: np.ndarray) -> Column:
   """Row-permute a column (used by shuffled rebatch)."""
+  from hybridbackend_tpu import native
   if isinstance(col, Value):
     if col.ragged_rank != 1:
       raise NotImplementedError('shuffle of ragged_rank>1')
+    fast = native.ragged_take_rows(col.values, col.row_splits[0],
+                                   np.asarray(indices))
+    if fast is not None:
+      return Value(fast[0], [fast[1]])
     splits = col.row_splits[0]
     lengths = np.diff(splits)[indices]
     new_splits = np.zeros(len(indices) + 1, np.int64)
@@ -258,7 +267,11 @@ def take_rows(col: Column, indices: np.ndarray) -> Column:
         np.arange(splits[i], splits[i + 1]) for i in indices
     ]) if len(indices) else np.zeros((0,), np.int64)
     return Value(col.values[src], [new_splits])
-  return col[indices]
+  arr = np.asarray(col)
+  fast = native.take_rows_dense(arr, np.asarray(indices))
+  if fast is not None:
+    return fast
+  return arr[indices]
 
 
 def parse(batch: Batch, fields: Sequence[Field]) -> Dict[str, Any]:

@@ -1,0 +1,142 @@
+"""ctypes bindings for the native host-side hot loops.
+
+Builds ``hbtpu_native.cc`` with the system compiler on first import
+(cached next to the source; rebuilt when the source changes) and exposes
+typed wrappers. Everything degrades to NumPy when no compiler is
+available — the native path is a performance fast-path, never a
+correctness dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+LOG = logging.getLogger('hybridbackend_tpu')
+
+_SRC = os.path.join(os.path.dirname(__file__), 'hbtpu_native.cc')
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+  global _LIB, _TRIED
+  if _LIB is not None or _TRIED:
+    return _LIB
+  _TRIED = True
+  if os.environ.get('HB_NATIVE_DISABLED', '').lower() in ('1', 'true'):
+    return None
+  try:
+    with open(_SRC, 'rb') as f:
+      digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        'HB_NATIVE_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'hbtpu_native'))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f'hbtpu_native_{digest}.so')
+    if not os.path.exists(so_path):
+      tmp = so_path + '.tmp'
+      subprocess.run(
+          ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+           '-o', tmp, _SRC],
+          check=True, capture_output=True)
+      os.replace(tmp, so_path)
+    lib = ctypes.CDLL(so_path)
+    lib.ragged_take_rows.restype = ctypes.c_int64
+    _LIB = lib
+  except (OSError, subprocess.CalledProcessError) as e:
+    LOG.warning('native module unavailable, using NumPy fallbacks: %s', e)
+    _LIB = None
+  return _LIB
+
+
+def available() -> bool:
+  return _build_and_load() is not None
+
+
+def _ptr(a: np.ndarray):
+  return a.ctypes.data_as(ctypes.c_void_p)
+
+
+_PAD_FNS = {'float32': 'ragged_to_padded_f32',
+            'int64': 'ragged_to_padded_i64',
+            'int32': 'ragged_to_padded_i32'}
+
+
+def ragged_to_padded(values: np.ndarray, splits: np.ndarray,
+                     max_len: int, pad_value) -> Optional[
+                         Tuple[np.ndarray, np.ndarray]]:
+  """Native ragged→padded; returns None if unsupported (caller falls
+  back to NumPy)."""
+  lib = _build_and_load()
+  fname = _PAD_FNS.get(values.dtype.name)
+  if lib is None or fname is None or not values.flags.c_contiguous:
+    return None
+  n = len(splits) - 1
+  inner = int(np.prod(values.shape[1:], dtype=np.int64))
+  out = np.full((n, max_len) + values.shape[1:], pad_value, values.dtype)
+  mask = np.zeros((n, max_len), np.uint8)
+  splits = np.ascontiguousarray(splits, np.int64)
+  getattr(lib, fname)(
+      _ptr(values), _ptr(splits), ctypes.c_int64(n),
+      ctypes.c_int64(max_len), ctypes.c_int64(max(inner, 1)),
+      _ptr(out), _ptr(mask))
+  return out, mask.astype(bool)
+
+
+def ragged_take_rows(values: np.ndarray, splits: np.ndarray,
+                     indices: np.ndarray) -> Optional[
+                         Tuple[np.ndarray, np.ndarray]]:
+  lib = _build_and_load()
+  if lib is None or not values.flags.c_contiguous or values.ndim != 1 \
+      or values.dtype == object:
+    return None
+  splits = np.ascontiguousarray(splits, np.int64)
+  indices = np.ascontiguousarray(indices, np.int64)
+  lengths = np.diff(splits)[indices]
+  total = int(lengths.sum())
+  out_values = np.empty((total,), values.dtype)
+  out_splits = np.empty((len(indices) + 1,), np.int64)
+  lib.ragged_take_rows(
+      _ptr(values), _ptr(splits), _ptr(indices),
+      ctypes.c_int64(len(indices)), ctypes.c_int64(values.itemsize),
+      _ptr(out_values), _ptr(out_splits))
+  return out_values, out_splits
+
+
+def take_rows_dense(values: np.ndarray,
+                    indices: np.ndarray) -> Optional[np.ndarray]:
+  lib = _build_and_load()
+  if lib is None or not values.flags.c_contiguous or \
+      values.dtype == object:
+    return None
+  indices = np.ascontiguousarray(indices, np.int64)
+  row_bytes = int(values.itemsize * np.prod(values.shape[1:],
+                                            dtype=np.int64))
+  out = np.empty((len(indices),) + values.shape[1:], values.dtype)
+  lib.take_rows_dense(_ptr(values), _ptr(indices),
+                      ctypes.c_int64(len(indices)),
+                      ctypes.c_int64(max(row_bytes, values.itemsize)),
+                      _ptr(out))
+  return out
+
+
+def murmur3_mix64(ids: np.ndarray, modulo: int = 0) -> Optional[np.ndarray]:
+  lib = _build_and_load()
+  if lib is None:
+    return None
+  ids = np.ascontiguousarray(ids, np.int64)
+  out = np.empty_like(ids)
+  lib.murmur3_mix64(_ptr(ids), ctypes.c_int64(len(ids)),
+                    ctypes.c_uint64(modulo), _ptr(out))
+  return out
+
+
+__all__ = ['available', 'ragged_to_padded', 'ragged_take_rows',
+           'take_rows_dense', 'murmur3_mix64']

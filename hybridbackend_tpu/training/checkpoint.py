@@ -64,7 +64,11 @@ class CheckpointManager:
       return state_template
     restored = self._mgr.restore(
         step, args=ocp.args.StandardRestore(state_template))
-    return restored
+    # Re-commit to the context mesh: restoring through a template whose
+    # leaves were never mesh-placed yields single-device arrays that
+    # clash with mesh-sharded batches under jit.
+    from hybridbackend_tpu.training.train import replicate_over_mesh
+    return replicate_over_mesh(restored)
 
   def all_steps(self):
     return self._mgr.all_steps()

@@ -42,8 +42,9 @@ class TrainState:
     ctx = ctx or Context.get()
     params = replicate_over_mesh(params, ctx)
     opt_state = sharding_aware_init(optimizer, params, ctx)
-    return cls(step=jnp.zeros((), jnp.int32), params=params,
-               opt_state=opt_state)
+    step = jax.device_put(jnp.zeros((), jnp.int32),
+                          ctx.replicated_sharding)
+    return cls(step=step, params=params, opt_state=opt_state)
 
 
 def replicate_over_mesh(tree, ctx: Optional[Context] = None):
