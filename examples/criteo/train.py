@@ -57,6 +57,8 @@ def main():
   p.add_argument('--epochs', type=int, default=1)
   p.add_argument('--lr-tables', type=float, default=0.05)
   p.add_argument('--lr-dense', type=float, default=1e-3)
+  p.add_argument('--sparse', action='store_true',
+                 help='row-sparse table updates (no dense [V,D] grads)')
   p.add_argument('--lookup', default='allgather',
                  choices=['allgather', 'alltoall', 'gspmd', 'hierarchical'])
   p.add_argument('--cpu', type=int, default=0,
@@ -78,7 +80,8 @@ def main():
       EmbeddingSpec, StackedFeatureExtractor, dlrm_apply, dlrm_init,
       stacked_dcn_v2_apply, stacked_dcn_v2_init)
   from hybridbackend_tpu.training import (
-      LoggingHook, StepStatHook, multi_optimizer)
+      LoggingHook, SparseTrainState, StepStatHook, make_sparse_train_step,
+      multi_optimizer)
 
   vocabs = [max(100, args.vocab >> (c % 5)) for c in range(NUM_CAT)]
   if not args.data:
@@ -114,6 +117,45 @@ def main():
     y = batch['label']
     loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
     return loss, {'preds': preds}
+
+  if args.sparse:
+    # Row-sparse table path: tables updated on touched rows only.
+    def model_loss(dense_params, emb_f, dense_f, batch):
+      if args.model == 'dcnv2':
+        preds = stacked_dcn_v2_apply(dense_params, emb_f + dense_f)
+      else:
+        preds = dlrm_apply(dense_params, dense_f, emb_f)
+      preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
+      y = batch['label']
+      loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+      return loss, {'preds': preds}
+
+    state = SparseTrainState.create(params['net'], params['tables'],
+                                    optax.adam(args.lr_dense),
+                                    adagrad_init=0.1)
+    sstep = make_sparse_train_step(fx, model_loss,
+                                   optax.adam(args.lr_dense),
+                                   table_lr=args.lr_tables)
+    import hybridbackend_tpu.metrics as hbm
+    from hybridbackend_tpu.data import DeviceIterator, SyncReplicasIterator
+    ctx0 = hb.Context.get()
+    for epoch in range(args.epochs):
+      ds = hb.data.Dataset.from_parquet(
+          args.data, batch_size=args.batch_size, drop_remainder=True,
+          shuffle=True, partition_index=ctx0.rank,
+          partition_count=ctx0.num_processes)
+      n = 0
+      import time as _t
+      t0 = _t.time()
+      for batch in DeviceIterator(SyncReplicasIterator(iter(ds))):
+        if args.steps and n >= args.steps:
+          break
+        state, m = sstep(state, batch)
+        n += 1
+      dt = _t.time() - t0
+      print(f'epoch {epoch}: {n} steps, loss={float(m["loss"]):.4f}, '
+            f'{n * args.batch_size / dt:,.0f} samples/sec')
+    return
 
   opt = multi_optimizer(optax.adagrad(args.lr_tables),
                         optax.adam(args.lr_dense))(params)

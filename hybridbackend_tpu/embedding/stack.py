@@ -121,7 +121,21 @@ def stacked_lookup(stack: TableStack, table: jax.Array,
   Returns:
     ``{member_name: embeddings ids.shape + (dim,)}``.
   """
-  ctx = ctx or Context.get()
+  all_ids, layout = pack_ids(stack, ids_by_name)
+  emb = lookup(table, all_ids, stack.stacked, ctx=ctx,
+               strategy=strategy)                         # [B, K, D]
+  return unpack_embeddings(stack, emb, layout)
+
+
+def pack_ids(stack: TableStack, ids_by_name: Dict[str, jax.Array]
+             ) -> Tuple[jax.Array, List[Tuple[str, Tuple[int, ...], int]]]:
+  """Offset-shift and concatenate member ids into the stacked id space.
+
+  Batch-major ``[B, K]`` layout: concatenating on axis 1 keeps the batch
+  axis (and its sharding) intact, so the fused lookup adds ZERO
+  resharding collectives on top of its one all_gather+reduce_scatter.
+  Returns ``(all_ids [B, K], layout [(name, orig_shape, width), ...])``.
+  """
   names, cols, shapes, widths = [], [], [], []
   batch_dims = set()
   for cfg, off in zip(stack.configs, stack.offsets):
@@ -131,9 +145,6 @@ def stacked_lookup(stack: TableStack, table: jax.Array,
     names.append(cfg.name)
     shapes.append(ids.shape)
     batch_dims.add(ids.shape[0])
-    # Batch-major [B, k] layout: concatenating on axis 1 keeps the batch
-    # axis (and its sharding) intact, so the fused lookup adds ZERO
-    # resharding collectives on top of its one all_gather+reduce_scatter.
     col = ids.reshape(ids.shape[0], -1)
     # Out-of-range member ids must stay out-of-range in the stacked
     # space (not collide with the next member's rows).
@@ -144,15 +155,19 @@ def stacked_lookup(stack: TableStack, table: jax.Array,
     raise ValueError(
         f'stacked_lookup needs a common leading batch dim; got {shapes}')
   all_ids = jnp.concatenate(cols, axis=1)                # [B, K]
-  emb = lookup(table, all_ids, stack.stacked, ctx=ctx,
-               strategy=strategy)                         # [B, K, D]
+  return all_ids, list(zip(names, shapes, widths))
+
+
+def unpack_embeddings(stack: TableStack, emb: jax.Array,
+                      layout) -> Dict[str, jax.Array]:
+  """Split fused ``[B, K, D]`` embeddings back per member."""
   out = {}
   pos = 0
-  for name, shape, width in zip(names, shapes, widths):
+  for name, shape, width in layout:
     out[name] = emb[:, pos:pos + width].reshape(*shape, stack.dim)
     pos += width
   return out
 
 
 __all__ = ['TableStack', 'build_stacks', 'create_stacked_tables',
-           'stacked_lookup']
+           'stacked_lookup', 'pack_ids', 'unpack_embeddings']

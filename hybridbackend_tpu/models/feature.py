@@ -107,24 +107,59 @@ class StackedFeatureExtractor:
     from hybridbackend_tpu.embedding.stack import create_stacked_tables
     return create_stacked_tables(self.stacks, rng, self._ctx)
 
-  def __call__(self, tables: Dict[str, jax.Array],
-               batch: Dict[str, jax.Array],
-               strategy: Optional[str] = None
-               ) -> Tuple[List[jax.Array], List[jax.Array]]:
-    from hybridbackend_tpu.embedding.stack import stacked_lookup
+  def member_ids(self, batch: Dict[str, jax.Array]
+                 ) -> Dict[str, Dict[str, jax.Array]]:
+    """Per-stack ``{member_name: ids}`` present in the batch."""
     by_spec_name = {s.config.name: s for s in self.specs}
-    raw: Dict[str, jax.Array] = {}
+    out = {}
     for stack in self.stacks:
       ids_by_name = {}
       for cfg in stack.configs:
         spec = by_spec_name[cfg.name]
         if spec.key in batch:
           ids_by_name[cfg.name] = batch[spec.key]
-      if not ids_by_name:
+      if ids_by_name:
+        out[stack.stacked.name] = ids_by_name
+    return out
+
+  def lookup_raw(self, tables: Dict[str, jax.Array],
+                 batch: Dict[str, jax.Array],
+                 strategy: Optional[str] = None):
+    """One fused lookup per stack; returns uncombined embeddings plus
+    the packed ids (the sparse-update path needs both).
+
+    Returns ``(raw_by_stack {stack: [B,K,D]}, ids_by_stack {stack:
+    [B,K]}, layouts {stack: layout})``.
+    """
+    from hybridbackend_tpu.embedding.lookup import lookup
+    from hybridbackend_tpu.embedding.stack import pack_ids
+    raw, ids_out, layouts = {}, {}, {}
+    member_ids = self.member_ids(batch)
+    for stack in self.stacks:
+      name = stack.stacked.name
+      if name not in member_ids:
         continue
-      raw.update(stacked_lookup(stack, tables[stack.stacked.name],
-                                ids_by_name, ctx=self._ctx,
-                                strategy=strategy))
+      all_ids, layout = pack_ids(stack, member_ids[name])
+      raw[name] = lookup(tables[name], all_ids, stack.stacked,
+                         ctx=self._ctx, strategy=strategy)
+      ids_out[name] = all_ids
+      layouts[name] = layout
+    return raw, ids_out, layouts
+
+  def combine_from_raw(self, raw_by_stack, layouts,
+                       batch: Dict[str, jax.Array]
+                       ) -> Tuple[List[jax.Array], List[jax.Array]]:
+    """Differentiable combine: fused raw embeddings → per-spec features
+    (applies ragged combiners). Chain-rule through this gives the
+    sparse-update path its per-id gradients."""
+    from hybridbackend_tpu.embedding.stack import unpack_embeddings
+    raw: Dict[str, jax.Array] = {}
+    for stack in self.stacks:
+      name = stack.stacked.name
+      if name in raw_by_stack:
+        raw.update(unpack_embeddings(stack, raw_by_stack[name],
+                                     layouts[name]))
+    by_spec_name = {s.config.name: s for s in self.specs}
     emb_features = []
     for spec in self.specs:
       emb = raw[spec.config.name]
@@ -154,6 +189,13 @@ class StackedFeatureExtractor:
         v = v[:, None]
       dense_features.append(v.astype(jnp.float32))
     return emb_features, dense_features
+
+  def __call__(self, tables: Dict[str, jax.Array],
+               batch: Dict[str, jax.Array],
+               strategy: Optional[str] = None
+               ) -> Tuple[List[jax.Array], List[jax.Array]]:
+    raw, _, layouts = self.lookup_raw(tables, batch, strategy)
+    return self.combine_from_raw(raw, layouts, batch)
 
 
 __all__ = ['EmbeddingSpec', 'init_tables', 'extract_features',

@@ -16,6 +16,13 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from hybridbackend_tpu.framework.options import OPTIONS
+
+OPTIONS.register('compute_dtype', 'float32', env='HB_COMPUTE_DTYPE',
+                 doc='MXU compute dtype for dense towers '
+                     '(float32|bfloat16); params and accumulation stay '
+                     'fp32.')
+
 
 def dense_init(rng: jax.Array, in_dim: int, out_dim: int,
                w_stddev: Optional[float] = None,
@@ -38,9 +45,14 @@ def dense_apply(params: Dict[str, jax.Array], x: jax.Array,
                 activation: Optional[Callable] = None,
                 compute_dtype=None) -> jax.Array:
   w, b = params['w'], params['b']
+  if compute_dtype is None:
+    name = OPTIONS['compute_dtype']
+    compute_dtype = None if name in ('float32', '') else jnp.dtype(name)
   if compute_dtype is not None:
     x = x.astype(compute_dtype)
     w = w.astype(compute_dtype)
+  # Params stay fp32; the matmul runs on the MXU in compute_dtype with
+  # fp32 accumulation (preferred_element_type).
   y = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
   if activation is not None:
     y = activation(y)

@@ -5,3 +5,5 @@ from hybridbackend_tpu.training.optimizer import (
 from hybridbackend_tpu.training.checkpoint import CheckpointManager
 from hybridbackend_tpu.training.hooks import (
     Hook, StepStatHook, Policy, LoggingHook)
+from hybridbackend_tpu.training.sparse_step import (
+    SparseTrainState, make_sparse_train_step)

@@ -1,0 +1,155 @@
+"""Tests for row-sparse table updates: must match dense-optax training
+numerically (Adagrad semantics) while never materializing dense table
+grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
+from hybridbackend_tpu.embedding.sparse_update import (
+    init_adagrad_state, sparse_adagrad_apply, sparse_sgd_apply)
+from hybridbackend_tpu.models import EmbeddingSpec, StackedFeatureExtractor
+from hybridbackend_tpu.models import stacked_dcn_v2_apply, stacked_dcn_v2_init
+from hybridbackend_tpu.training.sparse_step import (
+    SparseTrainState, make_sparse_train_step)
+
+VOCAB, DIM, BATCH = 64, 8, 32
+
+
+def reference_adagrad(table, acc, ids, demb, lr, eps=1e-7):
+  """NumPy reference: dedup ids, accumulate squared row-total grads."""
+  table, acc = table.copy(), acc.copy()
+  for row in np.unique(ids):
+    g = demb[ids == row].sum(0)
+    acc[row] += g * g
+    table[row] -= lr * g / (np.sqrt(acc[row]) + eps)
+  return table, acc
+
+
+class TestSparseAdagradSharded:
+
+  def _setup(self, vocab=VOCAB):
+    cfg = TableConfig('t', vocab, DIM)
+    table = create_table(cfg, jax.random.PRNGKey(0))
+    state = init_adagrad_state(table, initial=0.1)
+    return cfg, table, state
+
+  def test_matches_reference(self):
+    cfg, table, state = self._setup()
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, VOCAB, BATCH)
+    demb = rng.randn(BATCH, DIM).astype(np.float32)
+    new_table, new_state = sparse_adagrad_apply(
+        table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+        cfg, lr=0.1)
+    want_t, want_a = reference_adagrad(
+        np.asarray(table), np.full((VOCAB, DIM), 0.1, np.float32),
+        ids, demb, 0.1)
+    np.testing.assert_allclose(np.asarray(new_table), want_t, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state.acc[0]), want_a,
+                               rtol=1e-5)
+
+  def test_untouched_rows_unchanged(self):
+    cfg, table, state = self._setup()
+    ids = jnp.asarray([3] * BATCH, jnp.int32)
+    demb = jnp.ones((BATCH, DIM))
+    new_table, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
+    diff = np.abs(np.asarray(new_table) - np.asarray(table)).sum(1)
+    assert (diff[np.arange(VOCAB) != 3] == 0).all()
+    assert diff[3] > 0
+
+  def test_sharding_preserved(self):
+    cfg, table, state = self._setup()
+    ids = jnp.arange(BATCH, dtype=jnp.int32)
+    new_table, new_state = sparse_adagrad_apply(
+        table, state, ids, jnp.ones((BATCH, DIM)), cfg, 0.1)
+    assert len(new_table.sharding.device_set) == 8
+    assert len(new_state.acc[0].sharding.device_set) == 8
+
+  def test_replicated_table(self):
+    cfg = TableConfig('t', VOCAB, DIM, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(0))
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, VOCAB, BATCH)
+    demb = rng.randn(BATCH, DIM).astype(np.float32)
+    new_table, _ = sparse_adagrad_apply(
+        table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+        cfg, 0.1)
+    want_t, _ = reference_adagrad(
+        np.asarray(table), np.full((VOCAB, DIM), 0.1, np.float32),
+        ids, demb, 0.1)
+    np.testing.assert_allclose(np.asarray(new_table), want_t, rtol=1e-5)
+
+  def test_sgd(self):
+    cfg, table, _ = self._setup()
+    ids = jnp.asarray([5, 5, 9] + [0] * (BATCH - 3), jnp.int32)
+    demb = jnp.ones((BATCH, DIM))
+    new_table = sparse_sgd_apply(table, ids, demb, cfg, lr=0.5)
+    d = np.asarray(new_table) - np.asarray(table)
+    np.testing.assert_allclose(d[5], -1.0, rtol=1e-6)  # two dups
+    np.testing.assert_allclose(d[9], -0.5, rtol=1e-6)
+
+
+class TestSparseTrainStep:
+
+  def _make(self):
+    specs = [EmbeddingSpec(TableConfig('cat0', 300, DIM)),
+             EmbeddingSpec(TableConfig('cat1', 100, DIM))]
+    fx = StackedFeatureExtractor(specs, dense_columns=['dense0'])
+    key = jax.random.PRNGKey(0)
+    kt, kn = jax.random.split(key)
+    tables = fx.init(kt)
+    dense = stacked_dcn_v2_init(kn, [DIM, DIM, 1], [16, 1])
+
+    def model_loss(dense_params, emb_f, dense_f, batch):
+      preds = jnp.clip(stacked_dcn_v2_apply(dense_params, emb_f + dense_f),
+                       1e-6, 1 - 1e-6)
+      y = batch['label']
+      loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+      return loss, {'preds': preds}
+
+    opt = optax.adam(3e-3)
+    state = SparseTrainState.create(dense, tables, opt)
+    step = make_sparse_train_step(fx, model_loss, opt, table_lr=0.1)
+    return state, step
+
+  def _batch(self, rng):
+    cat0 = rng.randint(0, 300, BATCH * 2)
+    return {'cat0': jnp.asarray(cat0, jnp.int32),
+            'cat1': jnp.asarray(rng.randint(0, 100, BATCH * 2), jnp.int32),
+            'dense0': jnp.asarray(rng.rand(BATCH * 2), jnp.float32),
+            'label': jnp.asarray((cat0 % 3 == 0).astype(np.float32))}
+
+  def test_trains(self):
+    state, step = self._make()
+    rng = np.random.RandomState(0)
+    fixed = self._batch(rng)
+    state, m = step(state, fixed)
+    l0 = float(m['loss'])
+    for _ in range(120):
+      state, m = step(state, fixed)
+    assert float(m['loss']) < l0 * 0.5, (l0, float(m['loss']))
+
+  def test_no_dense_table_grad_in_hlo(self):
+    """The compiled step must not contain a [V, D]-shaped scatter-into-
+    zeros for the table gradient (the thing we're eliminating)."""
+    state, step = self._make()
+    b = self._batch(np.random.RandomState(1))
+    hlo = step.lower(state, b).compile().as_text()
+    # The post-SPMD HLO is per-shard: the stacked table (408 rows over
+    # 8 devices) appears as f32[51,8] shards. A dense optax path would
+    # add full-shard elementwise multiplies (adagrad over every row);
+    # the sparse path must have none.
+    assert 'f32[51,8]' in hlo  # table shards flow through
+    n_full_mul = hlo.count('multiply(f32[51,8]')
+    assert n_full_mul == 0, n_full_mul
+
+  def test_step_counter_and_sharding(self):
+    state, step = self._make()
+    state, _ = step(state, self._batch(np.random.RandomState(2)))
+    assert int(np.asarray(state.step)) == 1
+    for t in state.tables.values():
+      assert len(t.sharding.device_set) == 8
