@@ -111,7 +111,8 @@ def main():
 
   opt = multi_optimizer(optax.adagrad(0.1), optax.adam(1e-3))(params)
   trainer = hb.Trainer(loss_fn, params, opt,
-                       model_dir=args.model_dir or None)
+                       model_dir=args.model_dir or None,
+                       group_key='user')
 
   ctx = hb.Context.get()
   fields = [Field('hist', ragged_rank=1, max_len=args.max_hist)]

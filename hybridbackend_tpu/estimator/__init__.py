@@ -161,14 +161,16 @@ class Trainer:
       labels = batch[self._label_key]
       if labels.shape[0] == 0:
         continue
-      loss, aux = self._eval_fn(self.state.params, batch)
+      loss, aux = self._eval_fn(self.params, batch)
       preds = aux['preds']
       auc_s = hbm.auc_update(auc_s, labels, preds)
       loss_s = hbm.mean_update(loss_s, loss[None],
                                jnp.asarray([labels.shape[0]], jnp.float32))
       if self._group_key is not None:
+        # sort_groups: eval batches are not guaranteed group-contiguous.
         gauc_s = hbm.gauc_update(gauc_s, labels, preds,
-                                 batch[self._group_key])
+                                 batch[self._group_key],
+                                 sort_groups=True)
       n += 1
     out = {
         'auc': float(hbm.auc_result(auc_s)),
@@ -201,7 +203,7 @@ class Trainer:
     if prefetch:
       it = DeviceIterator(it, ctx=self._ctx)
     for batch in it:
-      _, aux = self._eval_fn(self.state.params, batch)
+      _, aux = self._eval_fn(self.params, batch)
       yield np.asarray(aux['preds'])
 
   # -- export ------------------------------------------------------------
@@ -212,8 +214,70 @@ class Trainer:
     from hybridbackend_tpu.training.saved_model import export
     if self._ctx.is_chief:
       export(lambda p, b: self._loss_fn(p, b)[1]['preds'],
-             self.state.params, example_batch, path)
+             self.params, example_batch, path)
     return path
 
 
-__all__ = ['Trainer']
+class SparseTrainer(Trainer):
+  """Trainer whose tables update via the row-sparse path.
+
+  Same lifecycle (train/evaluate/checkpoints/hooks) but the jitted step
+  is ``make_sparse_train_step``: no dense ``[V, D]`` table gradients.
+
+  Args:
+    fx: StackedFeatureExtractor declaring the tables.
+    model_loss: ``(dense_params, emb_features, dense_features, batch)
+      -> (loss, aux)``.
+    dense_params: the tower params; tables come from ``fx.init``.
+  """
+
+  def __init__(self, fx, model_loss: Callable, dense_params: Any,
+               tables: Optional[Dict[str, Any]] = None,
+               dense_optimizer: Optional[optax.GradientTransformation] = None,
+               table_lr: float = 0.05,
+               adagrad_init: float = 0.1,
+               model_dir: Optional[str] = None,
+               ctx: Optional[Context] = None,
+               label_key: str = 'label',
+               group_key: Optional[str] = None,
+               rng: Optional[jax.Array] = None):
+    from hybridbackend_tpu.training.sparse_step import (
+        SparseTrainState, make_sparse_train_step)
+    self._ctx = ctx or Context.get()
+    self._fx = fx
+    self._label_key = label_key
+    self._group_key = group_key
+    if dense_optimizer is None:
+      dense_optimizer = optax.adam(1e-3)
+    if tables is None:
+      tables = fx.init(rng if rng is not None else jax.random.PRNGKey(0))
+    self.state = SparseTrainState.create(dense_params, tables,
+                                         dense_optimizer, adagrad_init,
+                                         self._ctx)
+    self._step_fn = make_sparse_train_step(fx, model_loss,
+                                           dense_optimizer, table_lr,
+                                           self._ctx)
+
+    def eval_fn(params, batch):
+      dense, tables = params
+      emb_f, dense_f = fx(tables, batch)
+      return model_loss(dense, emb_f, dense_f, batch)
+
+    self._eval_fn = make_eval_step(eval_fn, self._ctx)
+    self._loss_fn = eval_fn
+    model_dir = model_dir or OPTIONS['model_dir']
+    self._ckpt = None
+    if model_dir and model_dir != '.':
+      self._ckpt = CheckpointManager(model_dir)
+      restored = self._ckpt.restore(self.state)
+      if restored is not self.state:
+        LOG.info('restored checkpoint at step %s',
+                 int(np.asarray(restored.step)))
+      self.state = restored
+
+  @property
+  def params(self):
+    return (self.state.dense, self.state.tables)
+
+
+__all__ = ['Trainer', 'SparseTrainer']

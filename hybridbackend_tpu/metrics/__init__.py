@@ -132,7 +132,8 @@ accuracy_result = mean_result
 
 def gauc_batch(labels: jax.Array, predictions: jax.Array,
                indicators: jax.Array,
-               skip_boundary_groups: bool = True
+               skip_boundary_groups: bool = True,
+               sort_groups: bool = False
                ) -> Tuple[jax.Array, jax.Array]:
   """Per-batch grouped AUC contribution ``(sum aucs*counts, sum counts)``.
 
@@ -144,11 +145,21 @@ def gauc_batch(labels: jax.Array, predictions: jax.Array,
   skipped, as are (optionally) the first and last group of the batch —
   they may be truncated at batch boundaries, exactly like the reference's
   ``first`` flag / incomplete-final-run handling.
+
+  ``sort_groups=True`` pre-sorts the batch by indicator so gAUC works on
+  shuffled batches (otherwise every group must already be a contiguous
+  run, as the reference kernel requires — with shuffled data every run
+  is a singleton and the result is 0/0).
   """
   n = labels.shape[0]
   labels = labels.reshape(-1).astype(jnp.float32)
   predictions = predictions.reshape(-1).astype(jnp.float32)
   indicators = indicators.reshape(-1)
+  if sort_groups:
+    order0 = jnp.argsort(indicators, stable=True)
+    labels, predictions = labels[order0], predictions[order0]
+    indicators = indicators[order0]
+    skip_boundary_groups = False  # groups are complete after sorting
 
   changed = jnp.concatenate([
       jnp.zeros((1,), jnp.int32),
@@ -200,9 +211,10 @@ def gauc_batch(labels: jax.Array, predictions: jax.Array,
 
 def gauc_update(state: MeanState, labels: jax.Array,
                 predictions: jax.Array, indicators: jax.Array,
-                skip_boundary_groups: bool = True) -> MeanState:
+                skip_boundary_groups: bool = True,
+                sort_groups: bool = False) -> MeanState:
   num, den = gauc_batch(labels, predictions, indicators,
-                        skip_boundary_groups)
+                        skip_boundary_groups, sort_groups=sort_groups)
   return MeanState(state.total + num, state.count + den)
 
 

@@ -295,3 +295,24 @@ class TestValidate:
         os.path.join(workdir, 'b.parquet'))
     problems = validate([os.path.join(workdir, '*.parquet')])
     assert problems and any('dtype' in p for p in problems)
+
+
+class TestORC:
+
+  def test_orc_roundtrip(self, workdir):
+    import pyarrow as pa
+    import pyarrow.orc as po
+    rng = np.random.RandomState(0)
+    tbl = pa.table({'a': rng.randint(0, 100, 150).astype(np.int64),
+                    's': [rng.randint(0, 9, rng.randint(1, 4)).tolist()
+                          for _ in range(150)]})
+    path = os.path.join(workdir, 'x.orc')
+    po.write_table(tbl, path)
+    ds = Dataset.from_orc(path, batch_size=64)
+    by_name = {f.name: f for f in ds.fields}
+    assert by_name['s'].ragged_rank == 1
+    got = list(ds)
+    assert sum(len(b['a']) for b in got) == 150
+    np.testing.assert_array_equal(
+        np.concatenate([b['a'] for b in got]),
+        tbl.column('a').to_numpy())

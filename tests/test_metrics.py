@@ -166,3 +166,32 @@ class TestMeanAccuracy:
                             jnp.asarray([1, 0, 1, 1]),
                             jnp.asarray([1, 0, 0, 1]))
     assert abs(float(hbm.accuracy_result(s)) - 0.75) < 1e-6
+
+
+class TestGAUCSorted:
+
+  def test_sorted_matches_contiguous(self):
+    rng = np.random.RandomState(7)
+    groups = np.sort(rng.randint(0, 15, 300))
+    labels = rng.randint(0, 2, 300).astype(np.float32)
+    preds = rng.rand(300).astype(np.float32)
+    # contiguous, no boundary skip
+    n1, d1 = hbm.gauc_batch(jnp.asarray(labels), jnp.asarray(preds),
+                            jnp.asarray(groups),
+                            skip_boundary_groups=False)
+    # shuffled input + sort_groups=True must give the same result
+    perm = rng.permutation(300)
+    n2, d2 = hbm.gauc_batch(jnp.asarray(labels[perm]),
+                            jnp.asarray(preds[perm]),
+                            jnp.asarray(groups[perm]), sort_groups=True)
+    assert abs(float(n1) - float(n2)) < 1e-3
+    assert float(d1) == float(d2)
+
+  def test_shuffled_without_sort_is_degenerate(self):
+    rng = np.random.RandomState(8)
+    groups = rng.randint(0, 15, 300)  # NOT sorted
+    labels = rng.randint(0, 2, 300).astype(np.float32)
+    preds = rng.rand(300).astype(np.float32)
+    _, den = hbm.gauc_batch(jnp.asarray(labels), jnp.asarray(preds),
+                            jnp.asarray(groups))
+    assert float(den) < 300  # mostly singleton runs → few valid groups

@@ -175,3 +175,36 @@ class TestExport:
                                      for k, v in b.items()}))
       _, aux = loss_fn(t.params, b)
       np.testing.assert_allclose(got, np.asarray(aux['preds']), rtol=1e-5)
+
+
+class TestSparseTrainer:
+
+  def test_full_lifecycle(self):
+    from hybridbackend_tpu.models import StackedFeatureExtractor
+    fx = StackedFeatureExtractor(SPECS, dense_columns=['dense0'])
+
+    def model_loss(dense_params, emb_f, dense_f, batch):
+      preds = jnp.clip(
+          stacked_dcn_v2_apply(dense_params, emb_f + dense_f),
+          1e-6, 1 - 1e-6)
+      y = batch['label']
+      loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+      return loss, {'preds': preds}
+
+    dense = stacked_dcn_v2_init(jax.random.PRNGKey(1), [DIM, 1], [16, 1])
+    with tempfile.TemporaryDirectory() as d:
+      t = hb.estimator.SparseTrainer(fx, model_loss, dense,
+                                     table_lr=0.2, model_dir=d)
+      m0 = t.train(batches(1, seed=20), sync=False)
+      m = t.train(batches(150, seed=21), sync=False)
+      assert m['loss'] < m0['loss']
+      res = t.evaluate(batches(10, seed=22))
+      assert res['auc'] > 0.85
+      # restart from checkpoint
+      t2 = hb.estimator.SparseTrainer(
+          fx, model_loss,
+          stacked_dcn_v2_init(jax.random.PRNGKey(5), [DIM, 1], [16, 1]),
+          table_lr=0.2, model_dir=d)
+      assert t2.global_step == t.global_step
+      res2 = t2.evaluate(batches(10, seed=22))
+      assert abs(res2['auc'] - res['auc']) < 1e-6
