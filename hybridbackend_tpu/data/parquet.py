@@ -161,13 +161,13 @@ class ParquetDataset:
       return self._files[self._partition_index::self._partition_count]
     return self._files  # fall through to row-group partitioning
 
-  def _tasks(self):
-    """Enumerate (filename, chunk_index) read units: one per Parquet row
-    group / ORC stripe, honoring the host partition."""
-    names = [f.name for f in self._fields]
+  def _task_indices(self):
+    """Enumerate (file_index, chunk_index) read units: one per Parquet
+    row group / ORC stripe, honoring the host partition."""
     partition_groups = (self._partition_count > 1
                         and len(self._files) < self._partition_count)
     for fname in self._my_files():
+      fidx = self._files.index(fname)
       if self._format == 'orc':
         import pyarrow.orc as po
         n_chunks = po.ORCFile(fname).nstripes
@@ -178,7 +178,12 @@ class ParquetDataset:
         if partition_groups and (
             c % self._partition_count != self._partition_index):
           continue
-        yield fname, c, names
+        yield fidx, c
+
+  def _tasks(self):
+    names = [f.name for f in self._fields]
+    for fidx, c in self._task_indices():
+      yield self._files[fidx], c, names
 
   def _read_chunk(self, fname: str, chunk: int, names: List[str]) -> Batch:
     """Read one row group / stripe (pyarrow releases the GIL; the actual
@@ -242,10 +247,28 @@ class ParquetDataset:
         for f in window:
           f.cancel()
 
+  def _native_iter(self) -> Optional[Iterator[Batch]]:
+    """C++ data plane (decode → rebatch → prefetch in native threads);
+    None when the columns or environment require the Python path."""
+    from hybridbackend_tpu.native import tabular as native_tabular
+    if not (native_tabular.available()
+            and native_tabular.supports(self._fields)):
+      return None
+    try:
+      return native_tabular.NativeTabularIterator(
+          self._files, list(self._task_indices()), self._fields,
+          self._batch_size, drop_remainder=self._drop_remainder,
+          shuffle=self._shuffle, shuffle_buffer=self._shuffle_buffer,
+          seed=self._seed, threads=self._threads, format=self._format)
+    except RuntimeError:
+      return None
+
   def __iter__(self) -> Iterator[Batch]:
+    it = self._native_iter()
+    if it is not None:
+      return it
     from hybridbackend_tpu.data.rebatch import rebatch
-    it = self._iter_micro_batches()
-    return rebatch(it, self._batch_size,
+    return rebatch(self._iter_micro_batches(), self._batch_size,
                    drop_remainder=self._drop_remainder,
                    shuffle=self._shuffle,
                    shuffle_buffer=self._shuffle_buffer,

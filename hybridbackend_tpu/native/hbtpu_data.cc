@@ -1,0 +1,757 @@
+// Native tabular data plane for TPU hosts.
+//
+// TPU-native re-design of the reference's C++ data stack
+// (/root/reference/hybridbackend/tensorflow/data/tabular/{dataset,parquet,
+// orc,table}.cc, data/rebatch/rebatch_buffer.cc, data/prefetch/prefetch.cc):
+// one pipeline that decodes Parquet row groups / ORC stripes with a thread
+// pool (ordered emission), rebatches row slices into exact-size training
+// batches, and prefetches decoded chunks ahead of the consumer. Batches are
+// emitted zero-copy whenever a column is a single contiguous Arrow slice
+// (the token keeps the Arrow tables alive); otherwise slices are
+// concatenated with one memcpy per span.
+//
+// Exposed via a plain C ABI (no pybind11 in this image); loaded with
+// ctypes. Links against the Arrow/Parquet C++ shipped inside pyarrow.
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <arrow/api.h>
+#include <arrow/adapters/orc/adapter.h>
+#include <arrow/io/api.h>
+#include <parquet/arrow/reader.h>
+
+namespace {
+
+// Numpy-compatible dtype codes for the C ABI.
+enum DTypeCode : int32_t {
+  DT_INVALID = 0,
+  DT_I8 = 1, DT_I16 = 2, DT_I32 = 3, DT_I64 = 4,
+  DT_U8 = 5, DT_U16 = 6, DT_U32 = 7, DT_U64 = 8,
+  DT_F32 = 10, DT_F64 = 11,
+};
+
+int32_t ArrowTypeToCode(const arrow::DataType& t) {
+  switch (t.id()) {
+    case arrow::Type::INT8: return DT_I8;
+    case arrow::Type::INT16: return DT_I16;
+    case arrow::Type::INT32: return DT_I32;
+    case arrow::Type::INT64: return DT_I64;
+    case arrow::Type::UINT8: return DT_U8;
+    case arrow::Type::UINT16: return DT_U16;
+    case arrow::Type::UINT32: return DT_U32;
+    case arrow::Type::UINT64: return DT_U64;
+    case arrow::Type::FLOAT: return DT_F32;
+    case arrow::Type::DOUBLE: return DT_F64;
+    default: return DT_INVALID;
+  }
+}
+
+int64_t DTypeSize(int32_t code) {
+  switch (code) {
+    case DT_I8: case DT_U8: return 1;
+    case DT_I16: case DT_U16: return 2;
+    case DT_I32: case DT_U32: case DT_F32: return 4;
+    default: return 8;
+  }
+}
+
+struct ColDesc {  // must match the ctypes Structure on the Python side
+  const void* values;
+  int64_t num_values;
+  const int64_t* splits;  // int64[nrows+1] when ragged, else nullptr
+  int32_t dtype;
+  int32_t ragged;
+};
+
+// Keeps every buffer referenced by an emitted batch alive.
+struct BatchToken {
+  std::vector<std::shared_ptr<arrow::Table>> tables;
+  std::vector<std::shared_ptr<arrow::Buffer>> owned;
+};
+
+struct Span {  // contiguous row range inside one decoded table
+  std::shared_ptr<arrow::Table> table;
+  int64_t start;
+  int64_t length;
+};
+
+arrow::Status FillDefault(void* dst, int64_t i, int32_t code, double dflt) {
+  switch (code) {
+    case DT_I8: static_cast<int8_t*>(dst)[i] = (int8_t)dflt; break;
+    case DT_I16: static_cast<int16_t*>(dst)[i] = (int16_t)dflt; break;
+    case DT_I32: static_cast<int32_t*>(dst)[i] = (int32_t)dflt; break;
+    case DT_I64: static_cast<int64_t*>(dst)[i] = (int64_t)dflt; break;
+    case DT_U8: static_cast<uint8_t*>(dst)[i] = (uint8_t)dflt; break;
+    case DT_U16: static_cast<uint16_t*>(dst)[i] = (uint16_t)dflt; break;
+    case DT_U32: static_cast<uint32_t*>(dst)[i] = (uint32_t)dflt; break;
+    case DT_U64: static_cast<uint64_t*>(dst)[i] = (uint64_t)dflt; break;
+    case DT_F32: static_cast<float*>(dst)[i] = (float)dflt; break;
+    case DT_F64: static_cast<double*>(dst)[i] = dflt; break;
+    default: return arrow::Status::Invalid("bad dtype code");
+  }
+  return arrow::Status::OK();
+}
+
+// One column of one table as raw primitive storage.
+struct PrimView {
+  const uint8_t* data;     // element 0 of the array (offset applied)
+  const uint8_t* validity; // may be null
+  int64_t validity_offset;
+  int64_t null_count;
+};
+
+arrow::Status GetPrimView(const arrow::Array& arr, int64_t esize,
+                          PrimView* out) {
+  const auto& d = *arr.data();
+  if (d.buffers.size() < 2 || d.buffers[1] == nullptr) {
+    return arrow::Status::Invalid("array has no data buffer");
+  }
+  out->data = d.buffers[1]->data() + d.offset * esize;
+  out->null_count = arr.null_count();
+  out->validity = (out->null_count > 0 && d.buffers[0] != nullptr)
+      ? d.buffers[0]->data() : nullptr;
+  out->validity_offset = d.offset;
+  return arrow::Status::OK();
+}
+
+inline bool BitIsSet(const uint8_t* bits, int64_t i) {
+  return (bits[i >> 3] >> (i & 7)) & 1;
+}
+
+// --------------------------------------------------------------------------
+// RebatchBuffer: spans of decoded tables -> exact-size batches.
+// Reference: rebatch_buffer.cc Put/Take dense & sparse paths.
+// --------------------------------------------------------------------------
+
+class RebatchBuffer {
+ public:
+  RebatchBuffer(std::vector<std::string> cols, std::vector<double> defaults,
+                bool shuffle, int64_t seed)
+      : cols_(std::move(cols)), defaults_(std::move(defaults)),
+        shuffle_(shuffle), rng_(static_cast<uint64_t>(seed)) {}
+
+  int64_t rows() const { return rows_; }
+
+  void Put(std::shared_ptr<arrow::Table> table) {
+    int64_t n = table->num_rows();
+    if (n == 0) return;
+    rows_ += n;
+    chunks_.push_back({std::move(table), 0});
+  }
+
+  // Emits n rows into out[ncols]; allocations/tables recorded in token.
+  arrow::Status Take(int64_t n, ColDesc* out, BatchToken* token) {
+    std::vector<Span> spans;
+    int64_t got = 0;
+    while (got < n) {
+      auto& front = chunks_.front();
+      int64_t avail = front.table->num_rows() - front.consumed;
+      int64_t take = std::min(avail, n - got);
+      spans.push_back({front.table, front.consumed, take});
+      front.consumed += take;
+      got += take;
+      if (front.consumed == front.table->num_rows()) chunks_.pop_front();
+    }
+    rows_ -= n;
+    std::vector<int64_t> perm;
+    if (shuffle_) {
+      perm.resize(n);
+      for (int64_t i = 0; i < n; ++i) perm[i] = i;
+      std::shuffle(perm.begin(), perm.end(), rng_);
+    }
+    for (auto& s : spans) token->tables.push_back(s.table);
+    for (size_t c = 0; c < cols_.size(); ++c) {
+      ARROW_RETURN_NOT_OK(
+          EmitColumn(static_cast<int>(c), spans, n, perm, &out[c], token));
+    }
+    return arrow::Status::OK();
+  }
+
+ private:
+  // Resolve the (single) chunk of column c inside a span's table.
+  static arrow::Status SpanArray(const Span& s, int c,
+                                 std::shared_ptr<arrow::Array>* out) {
+    auto col = s.table->column(c);
+    if (col->num_chunks() != 1) {
+      return arrow::Status::Invalid("expected single-chunk column");
+    }
+    *out = col->chunk(0);
+    return arrow::Status::OK();
+  }
+
+  arrow::Status EmitColumn(int c, const std::vector<Span>& spans, int64_t n,
+                           const std::vector<int64_t>& perm, ColDesc* out,
+                           BatchToken* token) {
+    std::shared_ptr<arrow::Array> first;
+    ARROW_RETURN_NOT_OK(SpanArray(spans[0], c, &first));
+    bool ragged = first->type_id() == arrow::Type::LIST ||
+                  first->type_id() == arrow::Type::LARGE_LIST;
+    if (ragged) return EmitRagged(c, spans, n, perm, out, token);
+    return EmitDense(c, spans, n, perm, out, token);
+  }
+
+  arrow::Status EmitDense(int c, const std::vector<Span>& spans, int64_t n,
+                          const std::vector<int64_t>& perm, ColDesc* out,
+                          BatchToken* token) {
+    std::shared_ptr<arrow::Array> a0;
+    ARROW_RETURN_NOT_OK(SpanArray(spans[0], c, &a0));
+    int32_t code = ArrowTypeToCode(*a0->type());
+    if (code == DT_INVALID) {
+      return arrow::Status::Invalid("unsupported dtype for column ",
+                                    cols_[c]);
+    }
+    int64_t esize = DTypeSize(code);
+    out->dtype = code;
+    out->ragged = 0;
+    out->splits = nullptr;
+    out->num_values = n;
+    // Zero-copy fast path: one span, no nulls, no shuffle.
+    if (spans.size() == 1 && perm.empty() && a0->null_count() == 0) {
+      PrimView v;
+      ARROW_RETURN_NOT_OK(GetPrimView(*a0, esize, &v));
+      out->values = v.data + spans[0].start * esize;
+      return arrow::Status::OK();
+    }
+    ARROW_ASSIGN_OR_RAISE(auto buf, arrow::AllocateBuffer(n * esize));
+    uint8_t* dst = buf->mutable_data();
+    int64_t pos = 0;
+    for (const auto& s : spans) {
+      std::shared_ptr<arrow::Array> a;
+      ARROW_RETURN_NOT_OK(SpanArray(s, c, &a));
+      PrimView v;
+      ARROW_RETURN_NOT_OK(GetPrimView(*a, esize, &v));
+      std::memcpy(dst + pos * esize, v.data + s.start * esize,
+                  static_cast<size_t>(s.length * esize));
+      if (v.validity != nullptr) {
+        for (int64_t i = 0; i < s.length; ++i) {
+          if (!BitIsSet(v.validity, v.validity_offset + s.start + i)) {
+            ARROW_RETURN_NOT_OK(
+                FillDefault(dst, pos + i, code, defaults_[c]));
+          }
+        }
+      }
+      pos += s.length;
+    }
+    if (!perm.empty()) {
+      ARROW_ASSIGN_OR_RAISE(auto sbuf, arrow::AllocateBuffer(n * esize));
+      uint8_t* sdst = sbuf->mutable_data();
+      for (int64_t i = 0; i < n; ++i) {
+        std::memcpy(sdst + i * esize, dst + perm[i] * esize,
+                    static_cast<size_t>(esize));
+      }
+      out->values = sdst;
+      token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(sbuf)));
+      return arrow::Status::OK();
+    }
+    out->values = dst;
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(buf)));
+    return arrow::Status::OK();
+  }
+
+  // value_offset(i) of list arrays, generic over LIST/LARGE_LIST.
+  static int64_t ListOffset(const arrow::Array& a, int64_t i) {
+    if (a.type_id() == arrow::Type::LIST) {
+      return static_cast<const arrow::ListArray&>(a).value_offset(i);
+    }
+    return static_cast<const arrow::LargeListArray&>(a).value_offset(i);
+  }
+
+  static const arrow::Array& ListValues(
+      const arrow::Array& a, std::shared_ptr<arrow::Array>* hold) {
+    if (a.type_id() == arrow::Type::LIST) {
+      *hold = static_cast<const arrow::ListArray&>(a).values();
+    } else {
+      *hold = static_cast<const arrow::LargeListArray&>(a).values();
+    }
+    return **hold;
+  }
+
+  arrow::Status EmitRagged(int c, const std::vector<Span>& spans, int64_t n,
+                           const std::vector<int64_t>& perm, ColDesc* out,
+                           BatchToken* token) {
+    std::shared_ptr<arrow::Array> a0;
+    ARROW_RETURN_NOT_OK(SpanArray(spans[0], c, &a0));
+    std::shared_ptr<arrow::Array> hold0;
+    const arrow::Array& v0 = ListValues(*a0, &hold0);
+    int32_t code = ArrowTypeToCode(*v0.type());
+    if (code == DT_INVALID) {
+      return arrow::Status::Invalid("unsupported ragged value dtype for ",
+                                    cols_[c]);
+    }
+    int64_t esize = DTypeSize(code);
+    out->dtype = code;
+    out->ragged = 1;
+
+    // Splits always materialize (rebased to zero); int64 for the ABI.
+    ARROW_ASSIGN_OR_RAISE(auto sbuf,
+                          arrow::AllocateBuffer((n + 1) * sizeof(int64_t)));
+    int64_t* splits = reinterpret_cast<int64_t*>(sbuf->mutable_data());
+
+    if (perm.empty()) {
+      // Pass 1: lengths -> splits.
+      splits[0] = 0;
+      int64_t row = 0;
+      for (const auto& s : spans) {
+        std::shared_ptr<arrow::Array> a;
+        ARROW_RETURN_NOT_OK(SpanArray(s, c, &a));
+        for (int64_t i = 0; i < s.length; ++i) {
+          bool valid = a->null_count() == 0 || a->IsValid(s.start + i);
+          int64_t len = valid ? ListOffset(*a, s.start + i + 1) -
+                                    ListOffset(*a, s.start + i)
+                              : 0;  // null list -> empty row
+          splits[row + 1] = splits[row] + len;
+          ++row;
+        }
+      }
+      int64_t total = splits[n];
+      out->num_values = total;
+      // Zero-copy values: single span, child not sliced, no null lists.
+      if (spans.size() == 1 && a0->null_count() == 0 &&
+          v0.null_count() == 0 && v0.offset() == 0) {
+        PrimView v;
+        ARROW_RETURN_NOT_OK(GetPrimView(v0, esize, &v));
+        out->values = v.data + ListOffset(*a0, spans[0].start) * esize;
+        out->splits = splits;
+        token->owned.push_back(
+            std::shared_ptr<arrow::Buffer>(std::move(sbuf)));
+        return arrow::Status::OK();
+      }
+      ARROW_ASSIGN_OR_RAISE(auto vbuf, arrow::AllocateBuffer(total * esize));
+      uint8_t* dst = vbuf->mutable_data();
+      int64_t pos = 0;
+      for (const auto& s : spans) {
+        std::shared_ptr<arrow::Array> a;
+        ARROW_RETURN_NOT_OK(SpanArray(s, c, &a));
+        std::shared_ptr<arrow::Array> hold;
+        const arrow::Array& vals = ListValues(*a, &hold);
+        PrimView v;
+        ARROW_RETURN_NOT_OK(GetPrimView(vals, esize, &v));
+        for (int64_t i = 0; i < s.length; ++i) {
+          bool valid = a->null_count() == 0 || a->IsValid(s.start + i);
+          if (!valid) continue;
+          int64_t b = ListOffset(*a, s.start + i);
+          int64_t e = ListOffset(*a, s.start + i + 1);
+          std::memcpy(dst + pos * esize, v.data + b * esize,
+                      static_cast<size_t>((e - b) * esize));
+          if (v.validity != nullptr) {
+            for (int64_t k = b; k < e; ++k) {
+              if (!BitIsSet(v.validity, v.validity_offset + k)) {
+                ARROW_RETURN_NOT_OK(
+                    FillDefault(dst, pos + (k - b), code, defaults_[c]));
+              }
+            }
+          }
+          pos += e - b;
+        }
+      }
+      out->values = dst;
+      out->splits = splits;
+      token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(sbuf)));
+      token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(vbuf)));
+      return arrow::Status::OK();
+    }
+
+    // Shuffled ragged take: per output row, locate its span/row and copy.
+    struct RowRef { const arrow::Array* a; int64_t i; const PrimView* v; };
+    std::vector<std::shared_ptr<arrow::Array>> arrays;
+    std::vector<std::shared_ptr<arrow::Array>> holds;
+    std::vector<PrimView> views;
+    arrays.reserve(spans.size());
+    views.reserve(spans.size());
+    std::vector<RowRef> rows(n);
+    {
+      int64_t row = 0;
+      for (const auto& s : spans) {
+        std::shared_ptr<arrow::Array> a;
+        ARROW_RETURN_NOT_OK(SpanArray(s, c, &a));
+        std::shared_ptr<arrow::Array> hold;
+        const arrow::Array& vals = ListValues(*a, &hold);
+        PrimView v;
+        ARROW_RETURN_NOT_OK(GetPrimView(vals, esize, &v));
+        arrays.push_back(a);
+        holds.push_back(hold);
+        views.push_back(v);
+        for (int64_t i = 0; i < s.length; ++i) {
+          rows[row++] = {arrays.back().get(), s.start + i, nullptr};
+        }
+        // (PrimView pointer fixed up below once vectors stop growing.)
+      }
+      size_t si = 0;
+      int64_t acc = 0;
+      for (int64_t r = 0; r < n; ++r) {
+        if (r - acc >= spans[si].length) { acc += spans[si].length; ++si; }
+        rows[r].v = &views[si];
+      }
+    }
+    splits[0] = 0;
+    for (int64_t r = 0; r < n; ++r) {
+      const RowRef& rr = rows[perm[r]];
+      bool valid = rr.a->null_count() == 0 || rr.a->IsValid(rr.i);
+      int64_t len = valid
+          ? ListOffset(*rr.a, rr.i + 1) - ListOffset(*rr.a, rr.i) : 0;
+      splits[r + 1] = splits[r] + len;
+    }
+    int64_t total = splits[n];
+    out->num_values = total;
+    ARROW_ASSIGN_OR_RAISE(auto vbuf, arrow::AllocateBuffer(total * esize));
+    uint8_t* dst = vbuf->mutable_data();
+    for (int64_t r = 0; r < n; ++r) {
+      const RowRef& rr = rows[perm[r]];
+      bool valid = rr.a->null_count() == 0 || rr.a->IsValid(rr.i);
+      if (!valid) continue;
+      int64_t b = ListOffset(*rr.a, rr.i);
+      int64_t e = ListOffset(*rr.a, rr.i + 1);
+      std::memcpy(dst + splits[r] * esize, rr.v->data + b * esize,
+                  static_cast<size_t>((e - b) * esize));
+      if (rr.v->validity != nullptr) {
+        for (int64_t k = b; k < e; ++k) {
+          if (!BitIsSet(rr.v->validity, rr.v->validity_offset + k)) {
+            ARROW_RETURN_NOT_OK(FillDefault(
+                dst, splits[r] + (k - b), code, defaults_[c]));
+          }
+        }
+      }
+    }
+    out->values = dst;
+    out->splits = splits;
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(sbuf)));
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(vbuf)));
+    return arrow::Status::OK();
+  }
+
+  struct Chunk {
+    std::shared_ptr<arrow::Table> table;
+    int64_t consumed;
+  };
+
+  std::vector<std::string> cols_;
+  std::vector<double> defaults_;
+  bool shuffle_;
+  std::mt19937_64 rng_;
+  std::deque<Chunk> chunks_;
+  int64_t rows_ = 0;
+};
+
+// --------------------------------------------------------------------------
+// TableAccess: format-specific chunk readers (reference table.h:34-100).
+// --------------------------------------------------------------------------
+
+class TableAccess {
+ public:
+  virtual ~TableAccess() = default;
+  virtual arrow::Status ReadChunk(int chunk,
+                                  std::shared_ptr<arrow::Table>* out) = 0;
+};
+
+class ParquetAccess : public TableAccess {
+ public:
+  static arrow::Status Open(const std::string& path,
+                            const std::vector<std::string>& cols, bool mmap,
+                            std::unique_ptr<TableAccess>* out) {
+    std::shared_ptr<arrow::io::RandomAccessFile> file;
+    if (mmap) {
+      ARROW_ASSIGN_OR_RAISE(file, arrow::io::MemoryMappedFile::Open(
+                                      path, arrow::io::FileMode::READ));
+    } else {
+      ARROW_ASSIGN_OR_RAISE(file, arrow::io::ReadableFile::Open(path));
+    }
+    auto access = std::make_unique<ParquetAccess>();
+    ARROW_ASSIGN_OR_RAISE(
+        access->reader_,
+        parquet::arrow::OpenFile(file, arrow::default_memory_pool()));
+    access->reader_->set_use_threads(false);
+    std::shared_ptr<arrow::Schema> schema;
+    ARROW_RETURN_NOT_OK(access->reader_->GetSchema(&schema));
+    for (const auto& name : cols) {
+      int idx = schema->GetFieldIndex(name);
+      if (idx < 0) {
+        return arrow::Status::Invalid("column not in file: ", name);
+      }
+      access->col_indices_.push_back(idx);
+    }
+    *out = std::move(access);
+    return arrow::Status::OK();
+  }
+
+  arrow::Status ReadChunk(int chunk,
+                          std::shared_ptr<arrow::Table>* out) override {
+    ARROW_ASSIGN_OR_RAISE(*out,
+                          reader_->ReadRowGroup(chunk, col_indices_));
+    if ((*out)->column(0)->num_chunks() > 1) {
+      ARROW_ASSIGN_OR_RAISE(
+          *out, (*out)->CombineChunks(arrow::default_memory_pool()));
+    }
+    return arrow::Status::OK();
+  }
+
+ private:
+  std::unique_ptr<parquet::arrow::FileReader> reader_;
+  std::vector<int> col_indices_;
+};
+
+class OrcAccess : public TableAccess {
+ public:
+  static arrow::Status Open(const std::string& path,
+                            const std::vector<std::string>& cols, bool mmap,
+                            std::unique_ptr<TableAccess>* out) {
+    std::shared_ptr<arrow::io::RandomAccessFile> file;
+    if (mmap) {
+      ARROW_ASSIGN_OR_RAISE(file, arrow::io::MemoryMappedFile::Open(
+                                      path, arrow::io::FileMode::READ));
+    } else {
+      ARROW_ASSIGN_OR_RAISE(file, arrow::io::ReadableFile::Open(path));
+    }
+    auto access = std::make_unique<OrcAccess>();
+    ARROW_ASSIGN_OR_RAISE(access->reader_,
+                          arrow::adapters::orc::ORCFileReader::Open(
+                              file, arrow::default_memory_pool()));
+    access->cols_ = cols;
+    *out = std::move(access);
+    return arrow::Status::OK();
+  }
+
+  arrow::Status ReadChunk(int chunk,
+                          std::shared_ptr<arrow::Table>* out) override {
+    ARROW_ASSIGN_OR_RAISE(auto batch, reader_->ReadStripe(chunk, cols_));
+    ARROW_ASSIGN_OR_RAISE(*out, arrow::Table::FromRecordBatches({batch}));
+    return arrow::Status::OK();
+  }
+
+ private:
+  std::unique_ptr<arrow::adapters::orc::ORCFileReader> reader_;
+  std::vector<std::string> cols_;
+};
+
+// --------------------------------------------------------------------------
+// Reader: task list -> thread-pool decode -> ordered prefetch queue ->
+// rebatch. Reference: the prefetch buffer (prefetch.cc:41-120) + AUTOTUNE
+// thread budgeting (table.py:94-117) collapsed into one native stage.
+// --------------------------------------------------------------------------
+
+struct Task {
+  int32_t file;
+  int32_t chunk;
+};
+
+class Reader {
+ public:
+  Reader(std::vector<std::string> files, std::vector<Task> tasks,
+         std::vector<std::string> cols, std::vector<double> defaults,
+         int64_t batch_size, bool drop_remainder, bool shuffle,
+         int64_t shuffle_buffer, int64_t seed, int threads, int prefetch,
+         int format, bool mmap)
+      : files_(std::move(files)), tasks_(std::move(tasks)),
+        cols_(std::move(cols)),
+        buffer_(cols_, std::move(defaults), shuffle, seed),
+        batch_size_(batch_size), drop_remainder_(drop_remainder),
+        watermark_(shuffle ? std::max(batch_size, shuffle_buffer)
+                           : batch_size),
+        format_(format), mmap_(mmap) {
+    threads = std::max(1, threads);
+    window_ = std::max(prefetch, 2 * threads);
+    int n = static_cast<int>(std::min<size_t>(threads, tasks_.size()));
+    for (int i = 0; i < std::max(n, 1); ++i) {
+      workers_.emplace_back([this] { WorkerLoop(); });
+    }
+  }
+
+  ~Reader() {
+    {
+      std::unique_lock<std::mutex> lock(mu_);
+      cancelled_ = true;
+    }
+    cv_producer_.notify_all();
+    cv_consumer_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  // nrows>0: batch emitted; 0: end of data; <0: error (see last_error()).
+  int64_t Next(ColDesc* out, BatchToken** token) {
+    if (buffer_.rows() >= watermark_) return Emit(batch_size_, out, token);
+    while (true) {
+      std::shared_ptr<arrow::Table> table;
+      {
+        std::unique_lock<std::mutex> lock(mu_);
+        cv_consumer_.wait(lock, [this] {
+          return !error_.empty() || ready_.count(next_emit_) ||
+                 AllDecoded();
+        });
+        if (!error_.empty()) return -1;
+        auto it = ready_.find(next_emit_);
+        if (it != ready_.end()) {
+          table = std::move(it->second);
+          ready_.erase(it);
+          ++next_emit_;
+          cv_producer_.notify_all();
+        } else if (AllDecoded()) {
+          break;  // fully drained; fall through to tail emission
+        }
+      }
+      if (table) {
+        buffer_.Put(std::move(table));
+        if (buffer_.rows() >= watermark_) return Emit(batch_size_, out,
+                                                      token);
+      }
+    }
+    if (buffer_.rows() >= batch_size_) return Emit(batch_size_, out, token);
+    if (buffer_.rows() > 0 && !drop_remainder_) {
+      return Emit(buffer_.rows(), out, token);
+    }
+    return 0;
+  }
+
+  const std::string& last_error() const { return error_; }
+
+ private:
+  bool AllDecoded() const {  // caller holds mu_
+    return next_emit_ >= static_cast<int64_t>(tasks_.size());
+  }
+
+  int64_t Emit(int64_t n, ColDesc* out, BatchToken** token) {
+    auto t = std::make_unique<BatchToken>();
+    auto st = buffer_.Take(n, out, t.get());
+    if (!st.ok()) {
+      std::unique_lock<std::mutex> lock(mu_);
+      if (error_.empty()) error_ = st.ToString();
+      return -1;
+    }
+    *token = t.release();
+    return n;
+  }
+
+  void WorkerLoop() {
+    std::unordered_map<int32_t, std::unique_ptr<TableAccess>> cache;
+    while (true) {
+      int64_t idx;
+      {
+        std::unique_lock<std::mutex> lock(mu_);
+        cv_producer_.wait(lock, [this] {
+          return cancelled_ || !error_.empty() ||
+                 (next_task_ < static_cast<int64_t>(tasks_.size()) &&
+                  next_task_ - next_emit_ <
+                      static_cast<int64_t>(window_));
+        });
+        if (cancelled_ || !error_.empty() ||
+            next_task_ >= static_cast<int64_t>(tasks_.size())) {
+          return;
+        }
+        idx = next_task_++;
+      }
+      const Task& task = tasks_[idx];
+      std::shared_ptr<arrow::Table> table;
+      arrow::Status st;
+      auto it = cache.find(task.file);
+      if (it == cache.end()) {
+        std::unique_ptr<TableAccess> access;
+        st = (format_ == 1)
+            ? OrcAccess::Open(files_[task.file], cols_, mmap_, &access)
+            : ParquetAccess::Open(files_[task.file], cols_, mmap_, &access);
+        if (st.ok()) {
+          it = cache.emplace(task.file, std::move(access)).first;
+        }
+      }
+      if (st.ok()) st = it->second->ReadChunk(task.chunk, &table);
+      {
+        std::unique_lock<std::mutex> lock(mu_);
+        if (!st.ok()) {
+          if (error_.empty()) error_ = st.ToString();
+        } else {
+          ready_[idx] = std::move(table);
+        }
+      }
+      cv_consumer_.notify_all();
+    }
+  }
+
+  std::vector<std::string> files_;
+  std::vector<Task> tasks_;
+  std::vector<std::string> cols_;
+  RebatchBuffer buffer_;
+  int64_t batch_size_;
+  bool drop_remainder_;
+  int64_t watermark_;
+  int format_;
+  bool mmap_;
+  size_t window_;
+
+  std::mutex mu_;
+  std::condition_variable cv_producer_;
+  std::condition_variable cv_consumer_;
+  std::map<int64_t, std::shared_ptr<arrow::Table>> ready_;
+  int64_t next_task_ = 0;
+  int64_t next_emit_ = 0;
+  bool cancelled_ = false;
+  std::string error_;
+  std::vector<std::thread> workers_;
+};
+
+void CopyError(const std::string& msg, char* err, int64_t cap) {
+  if (err != nullptr && cap > 0) {
+    std::snprintf(err, static_cast<size_t>(cap), "%s", msg.c_str());
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* hb_data_reader_open(
+    const char* const* files, int64_t nfiles,
+    const int32_t* task_file, const int32_t* task_chunk, int64_t ntasks,
+    const char* const* cols, const double* defaults, int64_t ncols,
+    int64_t batch_size, int32_t drop_remainder,
+    int32_t shuffle, int64_t shuffle_buffer, int64_t seed,
+    int32_t threads, int32_t prefetch, int32_t format, int32_t mmap,
+    char* err, int64_t err_cap) {
+  try {
+    std::vector<std::string> fs(files, files + nfiles);
+    std::vector<std::string> cs(cols, cols + ncols);
+    std::vector<double> ds(defaults, defaults + ncols);
+    std::vector<Task> tasks(ntasks);
+    for (int64_t i = 0; i < ntasks; ++i) {
+      tasks[i] = {task_file[i], task_chunk[i]};
+    }
+    return new Reader(std::move(fs), std::move(tasks), std::move(cs),
+                      std::move(ds), batch_size, drop_remainder != 0,
+                      shuffle != 0, shuffle_buffer, seed, threads, prefetch,
+                      format, mmap != 0);
+  } catch (const std::exception& e) {
+    CopyError(e.what(), err, err_cap);
+    return nullptr;
+  }
+}
+
+int64_t hb_data_reader_next(void* h, ColDesc* out, void** token,
+                            char* err, int64_t err_cap) {
+  auto* reader = static_cast<Reader*>(h);
+  BatchToken* t = nullptr;
+  int64_t n = reader->Next(out, &t);
+  if (n < 0) CopyError(reader->last_error(), err, err_cap);
+  *token = t;
+  return n;
+}
+
+void hb_data_batch_free(void* token) {
+  delete static_cast<BatchToken*>(token);
+}
+
+void hb_data_reader_close(void* h) {
+  delete static_cast<Reader*>(h);
+}
+
+int32_t hb_data_abi_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,243 @@
+"""ctypes binding for the native tabular data plane (hbtpu_data.cc).
+
+Builds the Arrow-linked shared library on first use (compiled against the
+Arrow/Parquet C++ shipped inside pyarrow) and exposes a zero-copy batch
+iterator. Falls back silently (returns None) when the toolchain or Arrow
+libs are unavailable — the pyarrow Python path is the correctness
+fallback, the native plane is the production fast path (reference:
+``/root/reference/hybridbackend/tensorflow/data/tabular/dataset.cc`` +
+``rebatch_buffer.cc`` + ``prefetch.cc``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob
+import hashlib
+import logging
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hybridbackend_tpu.data.dataframe import Field, Value
+
+LOG = logging.getLogger('hybridbackend_tpu')
+
+_SRC = os.path.join(os.path.dirname(__file__), 'hbtpu_data.cc')
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_DTYPE_CODES = {
+    np.dtype(np.int8): 1, np.dtype(np.int16): 2,
+    np.dtype(np.int32): 3, np.dtype(np.int64): 4,
+    np.dtype(np.uint8): 5, np.dtype(np.uint16): 6,
+    np.dtype(np.uint32): 7, np.dtype(np.uint64): 8,
+    np.dtype(np.float32): 10, np.dtype(np.float64): 11,
+}
+_CODE_DTYPES = {v: k for k, v in _DTYPE_CODES.items()}
+
+
+class _ColDesc(ctypes.Structure):
+  _fields_ = [
+      ('values', ctypes.c_void_p),
+      ('num_values', ctypes.c_int64),
+      ('splits', ctypes.c_void_p),
+      ('dtype', ctypes.c_int32),
+      ('ragged', ctypes.c_int32),
+  ]
+
+
+def _arrow_flags() -> Optional[List[str]]:
+  try:
+    import pyarrow
+  except ImportError:
+    return None
+  inc = pyarrow.get_include()
+  libdir = pyarrow.get_library_dirs()[0]
+  libs = []
+  for stem in ('libarrow', 'libparquet'):
+    found = sorted(glob.glob(os.path.join(libdir, stem + '.so*')))
+    if not found:
+      return None
+    libs.append(found[0])
+  return [f'-I{inc}'] + libs + [f'-Wl,-rpath,{libdir}']
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+  global _LIB, _TRIED
+  if _LIB is not None or _TRIED:
+    return _LIB
+  _TRIED = True
+  if os.environ.get('HB_NATIVE_DATA_DISABLED', '').lower() in ('1', 'true'):
+    return None
+  flags = _arrow_flags()
+  if flags is None:
+    LOG.warning('pyarrow C++ libs not found; native data plane disabled')
+    return None
+  try:
+    with open(_SRC, 'rb') as f:
+      digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        'HB_NATIVE_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'hbtpu_native'))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f'hbtpu_data_{digest}.so')
+    if not os.path.exists(so_path):
+      tmp = so_path + f'.tmp{os.getpid()}'
+      subprocess.run(
+          ['g++', '-O3', '-shared', '-fPIC', '-std=c++20',
+           '-o', tmp, _SRC] + flags,
+          check=True, capture_output=True)
+      os.replace(tmp, so_path)
+    lib = ctypes.CDLL(so_path)
+    lib.hb_data_reader_open.restype = ctypes.c_void_p
+    lib.hb_data_reader_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,      # files
+        ctypes.POINTER(ctypes.c_int32),                       # task_file
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,       # task_chunk
+        ctypes.POINTER(ctypes.c_char_p),                      # cols
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,      # defaults
+        ctypes.c_int64, ctypes.c_int32,                       # batch, drop
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,       # shuffle
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,       # threads…
+        ctypes.c_int32,                                       # mmap
+        ctypes.c_char_p, ctypes.c_int64,                      # err
+    ]
+    lib.hb_data_reader_next.restype = ctypes.c_int64
+    lib.hb_data_reader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(_ColDesc),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int64]
+    lib.hb_data_batch_free.argtypes = [ctypes.c_void_p]
+    lib.hb_data_reader_close.argtypes = [ctypes.c_void_p]
+    lib.hb_data_abi_version.restype = ctypes.c_int32
+    assert lib.hb_data_abi_version() == 1
+    _LIB = lib
+  except (OSError, subprocess.CalledProcessError, AssertionError) as e:
+    detail = getattr(e, 'stderr', b'')
+    LOG.warning('native data plane unavailable: %s %s', e,
+                detail[-500:].decode() if detail else '')
+    _LIB = None
+  return _LIB
+
+
+def available() -> bool:
+  return _build_and_load() is not None
+
+
+def supports(fields: Sequence[Field]) -> bool:
+  """True when every field can be served by the native plane."""
+  for f in fields:
+    if f.ragged_rank > 1 or f.shape:
+      return False
+    if np.dtype(f.dtype) not in _DTYPE_CODES:
+      return False
+  return True
+
+
+class _Token:
+  """Owns one emitted batch's native buffers; freed on GC."""
+
+  __slots__ = ('_lib', '_ptr')
+
+  def __init__(self, lib: ctypes.CDLL, ptr: int):
+    self._lib = lib
+    self._ptr = ptr
+
+  def __del__(self):
+    if self._ptr:
+      self._lib.hb_data_batch_free(self._ptr)
+      self._ptr = 0
+
+
+def _wrap(ptr: int, count: int, dtype: np.dtype, token: _Token) -> np.ndarray:
+  if count == 0 or not ptr:
+    return np.empty((0,), dtype)
+  cbuf = (ctypes.c_char * (count * dtype.itemsize)).from_address(ptr)
+  cbuf._hb_token = token  # keepalive: array -> cbuf -> token -> C++ buffers
+  arr = np.frombuffer(cbuf, dtype=dtype)
+  arr.flags.writeable = False
+  return arr
+
+
+class NativeTabularIterator:
+  """Iterates dict batches produced by the C++ pipeline."""
+
+  def __init__(self,
+               files: Sequence[str],
+               tasks: Sequence[Tuple[int, int]],
+               fields: Sequence[Field],
+               batch_size: int,
+               drop_remainder: bool = False,
+               shuffle: bool = False,
+               shuffle_buffer: int = 0,
+               seed: int = 0,
+               threads: int = 0,
+               prefetch: int = 0,
+               format: str = 'parquet',
+               mmap: bool = True):
+    lib = _build_and_load()
+    if lib is None:
+      raise RuntimeError('native data plane unavailable')
+    self._lib = lib
+    self._fields = list(fields)
+    self._ncols = len(self._fields)
+    if threads <= 0:
+      threads = max(1, min((os.cpu_count() or 2), 16))
+    files_c = (ctypes.c_char_p * len(files))(
+        *[f.encode() for f in files])
+    cols_c = (ctypes.c_char_p * self._ncols)(
+        *[f.name.encode() for f in self._fields])
+    defaults_c = (ctypes.c_double * self._ncols)(
+        *[float(f.default_value) for f in self._fields])
+    tf = (ctypes.c_int32 * len(tasks))(*[t[0] for t in tasks])
+    tc = (ctypes.c_int32 * len(tasks))(*[t[1] for t in tasks])
+    err = ctypes.create_string_buffer(1024)
+    self._handle = lib.hb_data_reader_open(
+        files_c, len(files), tf, tc, len(tasks),
+        cols_c, defaults_c, self._ncols,
+        batch_size, int(drop_remainder),
+        int(shuffle), int(shuffle_buffer), int(seed),
+        int(threads), int(prefetch),
+        1 if format == 'orc' else 0, int(mmap),
+        err, len(err))
+    if not self._handle:
+      raise RuntimeError(f'native reader open failed: {err.value.decode()}')
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> Dict[str, object]:
+    cols = (_ColDesc * self._ncols)()
+    token_ptr = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(1024)
+    n = self._lib.hb_data_reader_next(
+        self._handle, cols, ctypes.byref(token_ptr), err, len(err))
+    if n == 0:
+      raise StopIteration
+    if n < 0:
+      raise RuntimeError(f'native read failed: {err.value.decode()}')
+    token = _Token(self._lib, token_ptr.value or 0)
+    out: Dict[str, object] = {}
+    for i, f in enumerate(self._fields):
+      c = cols[i]
+      dtype = _CODE_DTYPES[c.dtype]
+      values = _wrap(c.values, c.num_values, dtype, token)
+      if c.ragged:
+        splits = _wrap(c.splits, n + 1, np.dtype(np.int64), token)
+        out[f.name] = Value(values, [splits])
+      else:
+        out[f.name] = values
+    return out
+
+  def close(self):
+    if getattr(self, '_handle', None):
+      self._lib.hb_data_reader_close(self._handle)
+      self._handle = None
+
+  def __del__(self):
+    self.close()
+
+
+__all__ = ['available', 'supports', 'NativeTabularIterator']
