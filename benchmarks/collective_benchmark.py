@@ -8,6 +8,12 @@ Usage: python benchmarks/collective_benchmark.py [--sizes-mb 1 4 16 64]
        [--collectives allreduce alltoall allgather] [--steps 20] [--cpu N]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

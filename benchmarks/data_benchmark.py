@@ -10,6 +10,12 @@ Usage: python benchmarks/data_benchmark.py [--mode parquet|dedup|transfer]
        [--batch 20000] [--cols 200] [--steps 100] [--threads N]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import tempfile

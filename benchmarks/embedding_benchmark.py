@@ -9,6 +9,12 @@ Usage: python benchmarks/embedding_benchmark.py [--vocab 1000000]
        [--dim 64] [--batch 8192] [--steps 20] [--cpu N]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

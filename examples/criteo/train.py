@@ -13,6 +13,12 @@ script runs anywhere:
   python -m hybridbackend_tpu.run examples/criteo/train.py --data ...
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
+
 import argparse
 import os
 

@@ -9,6 +9,12 @@ plus user-profile features, into a DNN.
   python examples/taobao/train_din.py --synthesize --steps 200 --cpu 8
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
+
 import argparse
 import os
 
