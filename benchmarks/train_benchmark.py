@@ -42,6 +42,14 @@ def main():
   p.add_argument('--inner-steps', type=int, default=20)
   p.add_argument('--repeats', type=int, default=3)
   p.add_argument('--model', default='dcnv2', choices=['dcnv2', 'dlrm'])
+  p.add_argument('--sparse', action='store_true',
+                 help='stacked tables + row-sparse Adagrad '
+                      '(no dense [V, D] gradients)')
+  p.add_argument('--bf16', action='store_true',
+                 help='bfloat16 matmul compute (params stay fp32)')
+  p.add_argument('--no-dedup', action='store_true',
+                 help='sparse mode: skip duplicate-id combining '
+                      '(TF SparseApplyAdagrad semantics, no sort)')
   p.add_argument('--cpu', type=int, default=0)
   p.add_argument('--json', action='store_true')
   args = p.parse_args()
@@ -60,18 +68,21 @@ def main():
   import hybridbackend_tpu as hb
   from hybridbackend_tpu.embedding import TableConfig
   from hybridbackend_tpu.models import (
-      EmbeddingSpec, extract_features, init_tables,
-      dlrm_apply, dlrm_init, stacked_dcn_v2_apply, stacked_dcn_v2_init)
+      EmbeddingSpec, StackedFeatureExtractor, extract_features,
+      init_tables, dlrm_apply, dlrm_init, stacked_dcn_v2_apply,
+      stacked_dcn_v2_init)
   from hybridbackend_tpu.training import (
-      TrainState, make_train_step, multi_optimizer)
+      SparseTrainState, TrainState, make_sparse_train_step,
+      make_train_step, multi_optimizer)
 
+  if args.bf16:
+    hb.OPTIONS['compute_dtype'] = 'bfloat16'
   ctx = hb.Context.get()
   specs = [EmbeddingSpec(TableConfig(f'c{i}', args.vocab, args.dim))
            for i in range(args.tables)]
   dense_names = [f'i{d}' for d in range(args.dense_features)]
   key = jax.random.PRNGKey(0)
   k_tab, k_net = jax.random.split(key)
-  tables = init_tables(specs, k_tab, ctx)
   if args.model == 'dcnv2':
     net = stacked_dcn_v2_init(
         k_net, [args.dim] * args.tables + [1] * args.dense_features,
@@ -81,23 +92,44 @@ def main():
     net = dlrm_init(k_net, args.dense_features, args.tables,
                     [512, 256], args.dim, [1024, 512, 1])
     apply_fn = dlrm_apply
-  params = {'tables': tables, 'net': net}
 
-  def loss_fn(params, batch):
-    emb, dense = extract_features(params['tables'], batch, specs,
-                                  dense_names, ctx=ctx)
+  def preds_from(net_params, emb, dense):
     if args.model == 'dcnv2':
-      preds = apply_fn(params['net'], emb + dense)
-    else:
-      preds = apply_fn(params['net'], dense, emb)
-    preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
-    y = batch['label']
-    loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
-    return loss, {}
+      return apply_fn(net_params, emb + dense)
+    return apply_fn(net_params, dense, emb)
 
-  opt = multi_optimizer(optax.adagrad(0.05), optax.adam(1e-3))(params)
-  state = TrainState.create(params, opt, ctx)
-  step = make_train_step(loss_fn, opt, ctx)
+  def bce(preds, y):
+    preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
+    return -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+
+  if args.sparse:
+    fx = StackedFeatureExtractor(specs, dense_columns=dense_names,
+                                 ctx=ctx)
+    tables = fx.init(k_tab)
+
+    def model_loss(dense_params, emb_f, dense_f, batch):
+      return bce(preds_from(dense_params, emb_f, dense_f),
+                 batch['label']), {}
+
+    state = SparseTrainState.create(net, tables, optax.adam(1e-3),
+                                    adagrad_init=0.1, ctx=ctx)
+    step = make_sparse_train_step(fx, model_loss, optax.adam(1e-3),
+                                  table_lr=0.05,
+                                  table_dedup=not args.no_dedup, ctx=ctx,
+                                  donate_state=False)
+  else:
+    tables = init_tables(specs, k_tab, ctx)
+    params = {'tables': tables, 'net': net}
+
+    def loss_fn(params, batch):
+      emb, dense = extract_features(params['tables'], batch, specs,
+                                    dense_names, ctx=ctx)
+      return bce(preds_from(params['net'], emb, dense),
+                 batch['label']), {}
+
+    opt = multi_optimizer(optax.adagrad(0.05), optax.adam(1e-3))(params)
+    state = TrainState.create(params, opt, ctx)
+    step = make_train_step(loss_fn, opt, ctx)
 
   rng = np.random.RandomState(0)
   base = {
@@ -146,6 +178,8 @@ def main():
       'unit': 'examples/s',
       'ms_per_step': round(ms_per_step, 3),
       'model': args.model,
+      'sparse': args.sparse,
+      'bf16': args.bf16,
       'batch': args.batch,
       'tables': args.tables,
       'dim': args.dim,

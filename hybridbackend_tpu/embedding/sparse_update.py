@@ -72,6 +72,20 @@ def _adagrad_rows(table, acc, rows, gsum, lr, eps):
   return table, acc
 
 
+def _adagrad_rows_nodedup(table, acc, rows, g, lr, eps, oob_row):
+  """Adagrad without duplicate combining (TF ``SparseApplyAdagrad``
+  semantics: duplicate ids accumulate per-occurrence squared grads; the
+  denominator is read after ALL squares land, so the result is
+  deterministic). Skips the sort-based ``unique`` — one scatter-add, one
+  gather, one scatter-add, all O(n)."""
+  safe = jnp.where((rows >= 0) & (rows < table.shape[0]), rows, oob_row)
+  acc = acc.at[safe].add(g * g, mode='drop')
+  denom = jnp.sqrt(jnp.take(acc, safe, axis=0, mode='fill',
+                            fill_value=1.0)) + eps
+  table = table.at[safe].add(-lr * g / denom, mode='drop')
+  return table, acc
+
+
 def _sgd_rows(table, rows, gsum, lr):
   return table.at[rows].add(-lr * gsum, mode='drop')
 
@@ -80,6 +94,7 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
                          ids: jax.Array, demb: jax.Array,
                          config: TableConfig, lr: float,
                          eps: float = 1e-7,
+                         dedup: bool = True,
                          ctx: Optional[Context] = None
                          ) -> Tuple[jax.Array, SparseOptState]:
   """Adagrad on touched rows only.
@@ -88,6 +103,10 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     ids: the batch's (flattened) lookup ids, batch-sharded.
     demb: gradient of the loss w.r.t. the looked-up embeddings,
       same leading shape as ``ids``.
+    dedup: combine duplicate ids before squaring (exact Adagrad). With
+      ``False``, duplicates accumulate per-occurrence squares (TF
+      ``SparseApplyAdagrad`` semantics) and the sort-based ``unique`` is
+      skipped — markedly faster for large batches.
   """
   ctx = ctx or Context.get()
   rows_b = config.row_index(ids.reshape(-1), ctx)
@@ -107,8 +126,12 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
           body, mesh=ctx.mesh,
           in_specs=(P(ctx.data_axes), P(ctx.data_axes, None)),
           out_specs=(P(), P()), check_vma=False)(rows_b, demb)
-    rows, gsum = _dedup_grads(rows_b, demb, oob_row=table.shape[0])
-    table, acc = _adagrad_rows(table, acc, rows, gsum, lr, eps)
+    if dedup:
+      rows, gsum = _dedup_grads(rows_b, demb, oob_row=table.shape[0])
+      table, acc = _adagrad_rows(table, acc, rows, gsum, lr, eps)
+    else:
+      table, acc = _adagrad_rows_nodedup(table, acc, rows_b, demb, lr,
+                                         eps, oob_row=table.shape[0])
     return table, SparseOptState(acc=(acc,))
 
   world = ctx.world_size
@@ -125,6 +148,10 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     mine = (owner == me)
     # Route non-owned ids out of range so the scatter drops them.
     local = jnp.where(mine, local, rows_per_shard)
+    if not dedup:
+      return _adagrad_rows_nodedup(
+          shard, acc_shard, local, jnp.where(mine[:, None], all_demb, 0),
+          lr, eps, oob_row=rows_per_shard)
     rows, gsum = _dedup_grads(local, jnp.where(mine[:, None], all_demb, 0),
                               oob_row=rows_per_shard)
     return _adagrad_rows(shard, acc_shard, rows, gsum, lr, eps)

@@ -61,6 +61,7 @@ def make_sparse_train_step(
     model_loss: Callable[[Any, list, list, Dict], Tuple[jax.Array, Dict]],
     dense_optimizer: optax.GradientTransformation,
     table_lr: float = 0.05,
+    table_dedup: bool = True,
     ctx: Optional[Context] = None,
     donate_state: bool = True) -> Callable:
   """Build the jitted sparse-update train step.
@@ -71,6 +72,8 @@ def make_sparse_train_step(
       (scalar_loss, aux)`` — the model from combined features onward.
     dense_optimizer: optax transform for the dense tower.
     table_lr: Adagrad learning rate for all tables.
+    table_dedup: exact duplicate-id combining before squaring; False
+      uses TF ``SparseApplyAdagrad`` semantics and skips the sort.
 
   Returns ``step(state, batch) -> (state, metrics)``.
   """
@@ -102,7 +105,7 @@ def make_sparse_train_step(
       stack = stacks_by_name[name]
       tables[name], table_opt[name] = sparse_adagrad_apply(
           tables[name], table_opt[name], ids_by_stack[name], demb,
-          stack.stacked, table_lr, ctx=ctx)
+          stack.stacked, table_lr, dedup=table_dedup, ctx=ctx)
 
     new_state = SparseTrainState(
         step=state.step + 1, dense=dense, tables=tables,

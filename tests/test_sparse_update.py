@@ -83,6 +83,43 @@ class TestSparseAdagradSharded:
         ids, demb, 0.1)
     np.testing.assert_allclose(np.asarray(new_table), want_t, rtol=1e-5)
 
+  def test_nodedup_matches_dedup_without_duplicates(self):
+    cfg, table, state = self._setup()
+    ids = np.random.RandomState(2).permutation(VOCAB)[:BATCH]
+    demb = np.random.RandomState(3).randn(BATCH, DIM).astype(np.float32)
+    t1, s1 = sparse_adagrad_apply(
+        table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+        cfg, 0.1, dedup=True)
+    t2, s2 = sparse_adagrad_apply(
+        table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+        cfg, 0.1, dedup=False)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.acc[0]),
+                               np.asarray(s2.acc[0]), rtol=1e-6)
+
+  def test_nodedup_tf_semantics_with_duplicates(self):
+    """Duplicates accumulate per-occurrence squares; every occurrence's
+    update divides by the post-accumulation denominator."""
+    for sharded in (True, False):
+      cfg = TableConfig('t', VOCAB, DIM, sharded=sharded)
+      table = create_table(cfg, jax.random.PRNGKey(0))
+      state = init_adagrad_state(table, 0.1)
+      rng = np.random.RandomState(4)
+      ids = rng.randint(0, 8, BATCH)  # heavy duplication
+      demb = rng.randn(BATCH, DIM).astype(np.float32)
+      got_t, got_s = sparse_adagrad_apply(
+          table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+          cfg, 0.1, dedup=False)
+      want_t = np.asarray(table).copy()
+      want_a = np.full((VOCAB, DIM), 0.1, np.float32)
+      for i in range(BATCH):
+        want_a[ids[i]] += demb[i] * demb[i]
+      for i in range(BATCH):
+        want_t[ids[i]] -= 0.1 * demb[i] / (np.sqrt(want_a[ids[i]]) + 1e-7)
+      np.testing.assert_allclose(np.asarray(got_s.acc[0]), want_a,
+                                 rtol=1e-5)
+      np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=1e-4)
+
   def test_sgd(self):
     cfg, table, _ = self._setup()
     ids = jnp.asarray([5, 5, 9] + [0] * (BATCH - 3), jnp.int32)
