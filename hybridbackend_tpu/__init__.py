@@ -11,7 +11,7 @@ world-size-independent sharded checkpointing.
 __version__ = '0.1.0'
 
 from hybridbackend_tpu.framework.context import (
-    Context, build_mesh, context_scope, scope)
+    Context, build_mesh, context_scope, embedding_scope, scope)
 from hybridbackend_tpu.framework.options import OPTIONS
 
 from hybridbackend_tpu import data

@@ -176,3 +176,14 @@ def scope(**kwargs) -> Iterator[Context]:
   current context. No graph rewriting happens (none is needed in JAX)."""
   with OPTIONS.override(**kwargs):
     yield Context.get()
+
+
+@contextlib.contextmanager
+def embedding_scope(sharded: bool = True, **kwargs) -> Iterator[Context]:
+  """Analogue of the reference's ``hb.embedding_scope()``
+  (``tensorflow/__init__.py:58-64``), which marks tables built inside it
+  for sharding. Tables created in this scope (``TableConfig`` without an
+  explicit ``sharded=``) follow the scope's policy; extra kwargs override
+  any ``emb_*`` option (e.g. ``emb_lookup_strategy='alltoall'``)."""
+  with OPTIONS.override(emb_sharded=sharded, **kwargs):
+    yield Context.get()

@@ -108,3 +108,18 @@ class TestContext:
     ctx = Context.get()
     s = ctx.batch_sharding
     assert s.mesh.shape == ctx.mesh.shape
+
+
+def test_embedding_scope_controls_sharding():
+  """hb.embedding_scope parity (reference tensorflow/__init__.py:58-64):
+  tables built in the scope follow its shard policy."""
+  import hybridbackend_tpu as hb
+  from hybridbackend_tpu.embedding import TableConfig
+  cfg = TableConfig('scoped', 4096, 8)
+  with hb.embedding_scope(sharded=False):
+    assert not cfg.should_shard()
+  with hb.embedding_scope():
+    assert cfg.should_shard()
+    assert hb.OPTIONS['emb_sharded'] is True
+  with hb.embedding_scope(emb_lookup_strategy='alltoall'):
+    assert hb.OPTIONS['emb_lookup_strategy'] == 'alltoall'
