@@ -70,9 +70,12 @@ def main():
                         f' --xla_force_host_platform_device_count='
                         f'{opts.devices_per_process}').strip(),
       })
+      flags = ['--devices-per-process', str(opts.devices_per_process)]
+      if opts.no_distributed:
+        flags.append('--no-distributed')
       procs.append(subprocess.Popen(
-          [sys.executable, '-m', 'hybridbackend_tpu.run', opts.script]
-          + opts.args, env=env))
+          [sys.executable, '-m', 'hybridbackend_tpu.run', *flags,
+           opts.script] + opts.args, env=env))
     import time
     code = 0
     try:
@@ -99,6 +102,14 @@ def main():
   if not opts.no_distributed:
     import jax
     if 'HB_RUN_PROCESS_ID' in os.environ:
+      # Simulated children must run on CPU. JAX_PLATFORMS in the env is
+      # not enough where a platform plugin wins selection (it is set
+      # above for environments that honor it); the config update is
+      # authoritative.
+      try:
+        jax.config.update('jax_platforms', 'cpu')
+      except RuntimeError:
+        pass
       jax.distributed.initialize(
           coordinator_address=os.environ['HB_RUN_COORDINATOR'],
           num_processes=int(os.environ['HB_RUN_NUM_PROCESSES']),
