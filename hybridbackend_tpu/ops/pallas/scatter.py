@@ -1,0 +1,280 @@
+"""Pallas TPU kernels: streaming scatter-add / sparse-Adagrad table update.
+
+THE hot kernel of embedding training. XLA lowers ``table.at[rows].add(g)``
+to a serialized per-row scatter (~117 ns/row measured on one chip: 25 ms
+for 213k rows into a [2.6M, 16] table — the entire train-step budget).
+This kernel re-states the update as a **table stream**: the table walks
+through VMEM block by block (HBM-bandwidth bound, in-place via
+input/output aliasing), and each block applies only its own slice of the
+**row-sorted** update list (found by a precomputed per-block prefix) with
+on-chip row read-modify-writes.
+
+This is the TPU answer to the reference's CUDA scatter kernels
+(``/root/reference/hybridbackend/tensorflow/embedding/lookup_functors.cu.cc:40-170``
+warp-cooperative atomics): no atomics exist on TPU, so ordering comes
+from the sort and block ownership instead.
+
+Layout contract:
+  * ``rows`` are int32, sorted ascending; invalid entries are ``-1``
+    (skipped) or ``>= vocab`` (must sort to the end, consumed by no
+    block). Duplicates allowed — applied sequentially (exact for add;
+    TF-sequential semantics for adagrad).
+  * ``vocab % block_rows == 0`` and ``len(rows) % chunk == 0`` — callers
+    pad (see :func:`pad_updates`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_ROWS = 2048   # table rows per grid step (VMEM block; lane-padded
+                     # to 128 in VMEM, so keep blocks modest)
+_CHUNK = 256         # update rows DMA'd per inner iteration (smaller
+                     # chunks waste less one-hot work on sparse blocks)
+
+
+def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
+                    upd_s, gsum_s, sems, *, block_rows, chunk,
+                    mode, lr, eps, precision,
+                    acc_ref=None, acc_out_ref=None):
+  """Grid dim 0 walks table blocks.
+
+  The per-block update is computed as a ONE-HOT MXU MATMUL, not a
+  per-row loop: ``gsum[r] = Σ_j [rows[j] == r] · upd[j]`` — a
+  [block, chunk] × [chunk, D] dot per chunk. Dynamic per-row VMEM
+  read-modify-writes run at ~117 ns/row on the VPU (the same wall XLA's
+  scatter hits); the matmul form moves the work to the MXU and sums
+  duplicate rows exactly (= exact Adagrad row totals).
+
+  Rows outside this block's range produce all-zero one-hot columns, so
+  chunk-alignment slop, -1 invalids, and INT32_MAX padding all filter
+  implicitly.
+
+  starts_ref: SMEM [nblocks+1] — update index range of each block.
+  rows_hbm/upd_hbm: full row-sorted update list, stays in HBM.
+  tbl_ref/out_ref: the table block (aliased input/output) in VMEM.
+  rows_ref: the full sorted row list, resident in VMEM as
+  [nchunks, chunk] (a few hundred KB). upd_s: VMEM [chunk, 128·k]
+  staging; gsum_s: VMEM [block_rows, lane-padded D] accumulator.
+  """
+  b = pl.program_id(0)
+  start = starts_ref[b]
+  end = starts_ref[b + 1]
+  gsum_s[...] = jnp.zeros_like(gsum_s)
+
+  def process_chunk(c0, _):
+    c0 = pl.multiple_of(c0, chunk)
+    ci = c0 // chunk
+    upd_cp = pltpu.make_async_copy(
+        upd_hbm.at[pl.ds(c0, chunk), :], upd_s, sems.at[1])
+    upd_cp.start()
+    upd_cp.wait()
+    # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
+    local = rows_ref[pl.ds(ci, 1), :] - b * block_rows  # [1, chunk]
+    # Transposed one-hot via broadcast compare: [block_rows, chunk].
+    onehot_t = (jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, chunk), 0) == local).astype(upd_s.dtype)
+    gsum_s[...] += jax.lax.dot_general(
+        onehot_t, upd_s[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32).astype(gsum_s.dtype)
+    return c0 + chunk
+
+  # Walk this block's update range in fixed-size, CHUNK-ALIGNED pieces
+  # (DMA starts must be tile-aligned; out-of-range rows a rounded-down
+  # chunk drags in vanish in the one-hot).
+  jax.lax.while_loop(lambda c: c < end, lambda c: process_chunk(c, None),
+                     (start // chunk) * chunk)
+
+  d = out_ref.shape[1]
+  gsum = gsum_s[...][:, :d]
+  if mode == 'add':
+    out_ref[...] = tbl_ref[...] + gsum
+  else:  # adagrad on per-row gradient totals (untouched rows: gsum=0)
+    a = acc_ref[...] + gsum * gsum
+    acc_out_ref[...] = a
+    out_ref[...] = tbl_ref[...] - lr * gsum / (jnp.sqrt(a) + eps)
+
+
+def _block_starts(rows: jax.Array, vocab: int, block_rows: int
+                  ) -> jax.Array:
+  """starts[b] = first update index belonging to block b (rows sorted;
+  -1 padding sorts before block 0 and is skipped by the kernel)."""
+  nblocks = -(-vocab // block_rows)
+  bounds = jnp.arange(nblocks + 1, dtype=jnp.int32) * block_rows
+  return jnp.searchsorted(rows, bounds, side='left').astype(jnp.int32)
+
+
+def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK
+                ) -> Tuple[jax.Array, jax.Array]:
+  """Pad the update list with OOB sentinel rows to a chunk multiple,
+  plus one extra chunk so a chunk DMA starting anywhere below the last
+  valid index never reads past the buffer."""
+  n = rows.shape[0]
+  pad = (-n) % chunk + chunk
+  rows = jnp.pad(rows, (0, pad), constant_values=2**31 - 1)
+  lane_pad = (-updates.shape[1]) % 128
+  updates = jnp.pad(updates, ((0, pad), (0, lane_pad)))
+  return rows, updates
+
+
+def sorted_segment_totals(ids: jax.Array, g: jax.Array
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+  """Scatter-free duplicate combining for sorted-update kernels.
+
+  Sorts ``(ids, g)`` and computes per-unique-id gradient totals with a
+  segmented associative scan (numerically local — each segment sums its
+  own values). Returns ``(sort_ids [N], rows [N], totals [N, D])`` where
+  ``rows[i] = ids`` value at run ENDS and ``-1`` elsewhere; ``sort_ids``
+  is the fully-sorted id list (for block-range computation). Everything
+  is sort/gather/scan — no scatter anywhere.
+  """
+  order = jnp.argsort(ids)
+  s_ids = ids[order].astype(jnp.int32)
+  s_g = g[order]
+  neq = s_ids[1:] != s_ids[:-1]
+  is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
+  is_last = jnp.concatenate([neq, jnp.ones((1,), jnp.bool_)])
+
+  def combine(a, b):
+    va, fa = a
+    vb, fb = b
+    return jnp.where(fb, vb, va + vb), fa | fb
+
+  run_sum, _ = jax.lax.associative_scan(
+      combine, (s_g, is_first[:, None]))
+  rows = jnp.where(is_last, s_ids, jnp.int32(-1))
+  totals = jnp.where(is_last[:, None], run_sum, 0).astype(g.dtype)
+  return s_ids, rows, totals
+
+
+@functools.partial(jax.jit, static_argnames=('block_rows', 'chunk',
+                                             'precision', 'interpret'))
+def scatter_add_sorted(table: jax.Array, rows: jax.Array,
+                       updates: jax.Array,
+                       block_ids: Optional[jax.Array] = None,
+                       block_rows: int = _BLOCK_ROWS,
+                       chunk: int = _CHUNK,
+                       precision: str = 'highest',
+                       interpret: bool = False) -> jax.Array:
+  """``table.at[rows].add(updates)`` for SORTED rows, as a table stream.
+
+  rows: int32 [N] ascending; -1 or >= vocab entries are ignored.
+  block_ids: optional fully-sorted ids used for block-range computation
+    when ``rows`` contains -1 holes (see :func:`sorted_segment_totals`).
+  Uneven ``table.shape[0]`` is handled (the tail block is masked).
+  """
+  v, d = table.shape
+  if block_ids is None:
+    block_ids = rows
+  block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
+                             jnp.zeros((block_ids.shape[0], 1)), chunk)
+  rows, updates = pad_updates(rows.astype(jnp.int32),
+                              updates.astype(table.dtype), chunk)
+  starts = _block_starts(block_ids, v, block_rows)
+  rows = rows.reshape(-1, chunk)
+  grid = (pl.cdiv(v, block_rows),)
+  kernel = functools.partial(
+      _scatter_kernel, block_rows=block_rows, chunk=chunk, mode='add',
+      lr=0.0, eps=0.0, precision=jax.lax.Precision(precision.lower()))
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=1,
+          grid=grid,
+          in_specs=[
+              pl.BlockSpec(memory_space=pltpu.VMEM),    # rows (resident)
+              pl.BlockSpec(memory_space=pltpu.ANY),     # updates (HBM)
+              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+                           memory_space=pltpu.VMEM),    # table block in
+          ],
+          out_specs=pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+                                 memory_space=pltpu.VMEM),
+          scratch_shapes=[
+              pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
+              pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
+      input_output_aliases={3: 0},  # table buffer updated in place
+      interpret=interpret,
+  )(starts, rows, updates, table)
+
+
+@functools.partial(jax.jit, static_argnames=('lr', 'eps', 'block_rows',
+                                             'chunk', 'precision',
+                                             'interpret'))
+def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
+                          rows: jax.Array, updates: jax.Array,
+                          lr: float, eps: float = 1e-7,
+                          block_ids: Optional[jax.Array] = None,
+                          block_rows: int = _BLOCK_ROWS,
+                          chunk: int = _CHUNK,
+                          precision: str = 'highest',
+                          interpret: bool = False
+                          ) -> Tuple[jax.Array, jax.Array]:
+  """Fused sparse Adagrad: one table stream updates accumulator AND
+  table (``acc[r] += g²; table[r] -= lr·g/sqrt(acc[r]+eps)``), rows
+  sorted. Duplicate rows are combined into per-row gradient TOTALS by
+  the one-hot matmul before squaring — exact Adagrad semantics, no
+  pre-deduplication needed. Returns (table, acc)."""
+  v, d = table.shape
+  if block_ids is None:
+    block_ids = rows
+  block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
+                             jnp.zeros((block_ids.shape[0], 1)), chunk)
+  rows, updates = pad_updates(rows.astype(jnp.int32),
+                              updates.astype(table.dtype), chunk)
+  starts = _block_starts(block_ids, v, block_rows)
+  rows = rows.reshape(-1, chunk)
+  grid = (pl.cdiv(v, block_rows),)
+
+  def kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, acc_ref,
+             tbl_out, acc_out, upd_s, gsum_s, sems):
+    _scatter_kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, tbl_out,
+                    upd_s, gsum_s, sems, block_rows=block_rows,
+                    chunk=chunk, mode='adagrad', lr=lr, eps=eps,
+                    precision=jax.lax.Precision(precision.lower()),
+                    acc_ref=acc_ref, acc_out_ref=acc_out)
+
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=1,
+          grid=grid,
+          in_specs=[
+              pl.BlockSpec(memory_space=pltpu.VMEM),    # rows (resident)
+              pl.BlockSpec(memory_space=pltpu.ANY),     # updates (HBM)
+              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+                           memory_space=pltpu.VMEM),
+          ],
+          out_specs=(
+              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+                           memory_space=pltpu.VMEM),
+          ),
+          scratch_shapes=[
+              pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
+              pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=(jax.ShapeDtypeStruct((v, d), table.dtype),
+                 jax.ShapeDtypeStruct((v, d), acc.dtype)),
+      input_output_aliases={3: 0, 4: 1},
+      interpret=interpret,
+  )(starts, rows, updates, table, acc)
+
+
+__all__ = ['scatter_add_sorted', 'adagrad_update_sorted', 'pad_updates']

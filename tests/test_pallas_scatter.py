@@ -1,0 +1,113 @@
+"""Streaming scatter/Adagrad Pallas kernels (interpret mode on CPU).
+
+The kernels' contract (sorted rows, -1 invalids, sentinel padding,
+duplicate summation, exact-Adagrad row totals) is verified against
+NumPy references; real-chip parity is covered by the TPU benchmark
+(docs/benchmarks.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridbackend_tpu.ops.pallas.scatter import (
+    adagrad_update_sorted, scatter_add_sorted, sorted_segment_totals)
+
+V, D = 16384, 16
+KW = dict(block_rows=2048, chunk=256, interpret=True)
+
+
+def _mk(n=3000, hi=V, dups=False, seed=0):
+  rng = np.random.RandomState(seed)
+  ids = np.sort(rng.randint(0, 400 if dups else hi, n)).astype(np.int32)
+  g = rng.randn(n, D).astype(np.float32)
+  table = jnp.asarray(rng.rand(V, D), jnp.float32)
+  return table, ids, g
+
+
+def _want_add(table, ids, g):
+  want = np.asarray(table).copy()
+  for i in range(len(ids)):
+    if 0 <= ids[i] < V:
+      want[ids[i]] += g[i]
+  return want
+
+
+def test_scatter_add_basic():
+  table, ids, g = _mk()
+  got = scatter_add_sorted(table, jnp.asarray(ids), jnp.asarray(g), **KW)
+  np.testing.assert_allclose(np.asarray(got), _want_add(table, ids, g),
+                             atol=2e-4)
+
+
+def test_scatter_add_duplicates_and_invalids():
+  table, ids, g = _mk(dups=True)
+  ids[:17] = -1
+  got = scatter_add_sorted(table, jnp.asarray(ids), jnp.asarray(g), **KW)
+  np.testing.assert_allclose(np.asarray(got), _want_add(table, ids, g),
+                             atol=2e-3)
+
+
+def test_scatter_add_empty_and_full_block():
+  table, ids, g = _mk(n=512)
+  ids[:] = np.sort(np.r_[np.zeros(256), np.full(256, V - 1)]).astype(
+      np.int32)  # everything in first and last block
+  got = scatter_add_sorted(table, jnp.asarray(ids), jnp.asarray(g), **KW)
+  np.testing.assert_allclose(np.asarray(got), _want_add(table, ids, g),
+                             rtol=1e-4, atol=2e-3)
+
+
+def test_adagrad_exact_row_totals():
+  table, ids, g = _mk(dups=True, seed=3)
+  acc = jnp.full((V, D), 0.1, jnp.float32)
+  gt, ga = adagrad_update_sorted(table, acc, jnp.asarray(ids),
+                                 jnp.asarray(g), lr=0.1, **KW)
+  tot = {}
+  for i in range(len(ids)):
+    tot[ids[i]] = tot.get(ids[i], 0) + g[i]
+  wt = np.asarray(table).copy()
+  wa = np.full((V, D), 0.1, np.float32)
+  for k, v in tot.items():
+    wa[k] += v * v
+    wt[k] -= 0.1 * v / (np.sqrt(wa[k]) + 1e-7)
+  np.testing.assert_allclose(np.asarray(ga), wa, atol=2e-3)
+  np.testing.assert_allclose(np.asarray(gt), wt, atol=2e-3)
+
+
+def test_untouched_rows_bitwise_unchanged():
+  table, ids, g = _mk(n=256, dups=True)
+  acc = jnp.full((V, D), 0.1, jnp.float32)
+  gt, ga = adagrad_update_sorted(table, acc, jnp.asarray(ids),
+                                 jnp.asarray(g), lr=0.1, **KW)
+  touched = set(ids.tolist())
+  un = np.asarray([r for r in range(V) if r not in touched][:500])
+  np.testing.assert_array_equal(np.asarray(gt)[un], np.asarray(table)[un])
+  np.testing.assert_array_equal(np.asarray(ga)[un], np.float32(0.1))
+
+
+def test_sorted_segment_totals_feed():
+  """Pre-combined totals through the kernel == direct duplicates."""
+  table, ids_unsorted, g = _mk(dups=True, seed=5)
+  rng = np.random.RandomState(6)
+  perm = rng.permutation(len(ids_unsorted))
+  ids_u = ids_unsorted[perm]
+  g_u = g[perm]
+  s_ids, rows, totals = sorted_segment_totals(jnp.asarray(ids_u),
+                                              jnp.asarray(g_u))
+  got = scatter_add_sorted(table, rows, totals, block_ids=s_ids, **KW)
+  np.testing.assert_allclose(np.asarray(got),
+                             _want_add(table, ids_u, g_u), atol=2e-3)
+
+
+def test_dim_not_multiple_of_128():
+  """D=16 exercises lane padding; also check D=40."""
+  rng = np.random.RandomState(7)
+  table = jnp.asarray(rng.rand(4096, 40), jnp.float32)
+  ids = np.sort(rng.randint(0, 4096, 700)).astype(np.int32)
+  g = rng.randn(700, 40).astype(np.float32)
+  got = scatter_add_sorted(table, jnp.asarray(ids), jnp.asarray(g),
+                           block_rows=1024, chunk=128, interpret=True)
+  want = np.asarray(table).copy()
+  np.add.at(want, ids, g)
+  np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)

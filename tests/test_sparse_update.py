@@ -190,3 +190,42 @@ class TestSparseTrainStep:
     assert int(np.asarray(state.step)) == 1
     for t in state.tables.values():
       assert len(t.sharding.device_set) == 8
+
+
+class TestStreamImpl:
+  """Pallas table-streaming update (interpret mode on the CPU mesh)."""
+
+  def test_stream_matches_xla_replicated(self):
+    cfg = TableConfig('t', VOCAB, DIM, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(0))
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(7)
+    ids = jnp.asarray(rng.randint(0, VOCAB, BATCH), jnp.int32)
+    demb = jnp.asarray(rng.randn(BATCH, DIM), jnp.float32)
+    t_x, s_x = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1,
+                                    impl='xla')
+    t_s, s_s = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1,
+                                    impl='stream')
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_s.acc[0]),
+                               np.asarray(s_x.acc[0]), rtol=1e-4,
+                               atol=1e-5)
+
+  def test_stream_matches_xla_sharded(self):
+    cfg = TableConfig('t', VOCAB, DIM)
+    table = create_table(cfg, jax.random.PRNGKey(1))
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(8)
+    ids = jnp.asarray(rng.randint(0, VOCAB, BATCH), jnp.int32)
+    demb = jnp.asarray(rng.randn(BATCH, DIM), jnp.float32)
+    t_x, s_x = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1,
+                                    impl='xla')
+    t_s, s_s = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1,
+                                    impl='stream')
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_s.acc[0]),
+                               np.asarray(s_x.acc[0]), rtol=1e-4,
+                               atol=1e-5)
+    assert len(t_s.sharding.device_set) == 8
