@@ -202,8 +202,17 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
   return table, SparseOptState(acc=(acc,))
 
 
+def _stream_sgd(table, rows, g, lr):
+  from hybridbackend_tpu.ops.pallas.scatter import scatter_add_sorted
+  order = jnp.argsort(rows)
+  interpret = jax.default_backend() != 'tpu'
+  return scatter_add_sorted(table, rows[order], (-lr) * g[order],
+                            interpret=interpret)
+
+
 def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
                      config: TableConfig, lr: float,
+                     impl: str = 'auto',
                      ctx: Optional[Context] = None) -> jax.Array:
   """SGD on touched rows only (no slot state)."""
   ctx = ctx or Context.get()
@@ -219,6 +228,8 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
           gather, mesh=ctx.mesh,
           in_specs=(P(ctx.data_axes), P(ctx.data_axes, None)),
           out_specs=(P(), P()), check_vma=False)(rows_b, demb)
+    if _use_stream(impl):
+      return _stream_sgd(table, rows_b, demb, lr)
     oob = table.shape[0]
     safe = jnp.where((rows_b >= 0) & (rows_b < oob), rows_b, oob)
     return table.at[safe].add(-lr * demb, mode='drop')
@@ -233,6 +244,10 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
     all_demb = jax.lax.all_gather(demb_local, axes, tiled=True)
     owner = all_ids // rows_per_shard
     mine = (owner == me)
+    if _use_stream(impl):
+      local = jnp.where(mine, all_ids - me * rows_per_shard, -1)
+      return _stream_sgd(shard, local,
+                         jnp.where(mine[:, None], all_demb, 0), lr)
     local = jnp.where(mine, all_ids - me * rows_per_shard,
                       rows_per_shard)
     return _sgd_rows(shard, local,

@@ -229,3 +229,15 @@ class TestStreamImpl:
                                np.asarray(s_x.acc[0]), rtol=1e-4,
                                atol=1e-5)
     assert len(t_s.sharding.device_set) == 8
+
+  def test_stream_sgd_matches_xla(self):
+    for sharded in (True, False):
+      cfg = TableConfig('t', VOCAB, DIM, sharded=sharded)
+      table = create_table(cfg, jax.random.PRNGKey(2))
+      rng = np.random.RandomState(9)
+      ids = jnp.asarray(rng.randint(0, VOCAB, BATCH), jnp.int32)
+      demb = jnp.asarray(rng.randn(BATCH, DIM), jnp.float32)
+      t_x = sparse_sgd_apply(table, ids, demb, cfg, lr=0.5, impl='xla')
+      t_s = sparse_sgd_apply(table, ids, demb, cfg, lr=0.5, impl='stream')
+      np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_x),
+                                 rtol=1e-4, atol=1e-5)
