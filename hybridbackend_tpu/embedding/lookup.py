@@ -66,6 +66,20 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
         f'Lookup batch of {flat.shape[0]} ids (shape {orig_shape}) must '
         f'divide evenly by world_size={ctx.world_size}; pad the batch.')
 
+  if config.partition == 'column':
+    # Column-sharded (dim-axis) table: every device holds all rows of
+    # its dim slice. all_gather the ids, gather each slice locally for
+    # the WHOLE batch, then a tiled all_to_all hands every batch owner
+    # its rows' remaining dim slices (BASELINE config #4: column-sharded
+    # large-dim tables).
+    fn = jax.shard_map(
+        functools.partial(_lookup_column, axes=ctx.data_axes,
+                          vocab=config.padded_vocab(ctx)),
+        mesh=ctx.mesh,
+        in_specs=(P(None, ctx.data_axes), P(ctx.data_axes)),
+        out_specs=P(ctx.data_axes, None))
+    return fn(table, flat).reshape(*orig_shape, config.dim)
+
   if strategy == 'gspmd':
     # Zero-fill out-of-range ids, matching the sharded strategies (an
     # unowned id contributes nothing). mode='fill' alone is not enough:
@@ -101,6 +115,22 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
       out_specs=P(axes, None))
   out = fn(table, flat)
   return out.reshape(*orig_shape, config.dim)
+
+
+def _lookup_column(shard, ids_local, *, axes, vocab):
+  """Column-sharded lookup: shard is ``[V, dim/W]``.
+
+  all_gather ids → local gather of this device's dim slice for ALL ids
+  → tiled all_to_all redistributes so each device ends with its own
+  batch rows × the full dim (slices concatenated in device order, which
+  matches the global column order of ``P(None, axes)``)."""
+  all_ids = jax.lax.all_gather(ids_local, axes, tiled=True)   # [B]
+  valid = (all_ids >= 0) & (all_ids < vocab)
+  emb = jnp.take(shard, jnp.clip(all_ids, 0, shard.shape[0] - 1),
+                 axis=0)                                      # [B, d/W]
+  emb = jnp.where(valid[:, None], emb, 0)
+  return jax.lax.all_to_all(emb, axes, split_axis=0, concat_axis=1,
+                            tiled=True)                       # [b, d]
 
 
 def _lookup_allgather(shard, ids_local, *, axes, rows_per_shard):

@@ -165,10 +165,36 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
                                          eps, oob_row=table.shape[0])
     return table, SparseOptState(acc=(acc,))
 
+  axes = ctx.data_axes
+  if config.partition == 'column':
+    # Column-sharded table: every device owns ALL rows of its dim
+    # slice. all_gather the ids; the inverse of the lookup's all_to_all
+    # hands each device the full batch's gradients for its slice.
+    vocab_c = config.padded_vocab(ctx)
+
+    def body_c(shard, acc_shard, ids_local, demb_local):
+      all_ids = jax.lax.all_gather(ids_local, axes, tiled=True)   # [B]
+      slice_g = jax.lax.all_to_all(demb_local, axes, split_axis=1,
+                                   concat_axis=0, tiled=True)  # [B, d/W]
+      if _use_stream(impl):
+        return _stream_adagrad(shard, acc_shard, all_ids, slice_g,
+                               lr, eps)
+      if dedup:
+        rows, gsum = _dedup_grads(all_ids, slice_g, oob_row=vocab_c)
+        return _adagrad_rows(shard, acc_shard, rows, gsum, lr, eps)
+      return _adagrad_rows_nodedup(shard, acc_shard, all_ids, slice_g,
+                                   lr, eps, oob_row=vocab_c)
+
+    fn = jax.shard_map(
+        body_c, mesh=ctx.mesh,
+        in_specs=(P(None, axes), P(None, axes), P(axes), P(axes, None)),
+        out_specs=(P(None, axes), P(None, axes)), check_vma=False)
+    table, acc = fn(table, acc, rows_b, demb)
+    return table, SparseOptState(acc=(acc,))
+
   world = ctx.world_size
   vocab = config.padded_vocab(ctx)
   rows_per_shard = vocab // world
-  axes = ctx.data_axes
 
   def body(shard, acc_shard, ids_local, demb_local):
     me = axis_index_t(axes)

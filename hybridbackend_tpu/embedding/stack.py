@@ -59,7 +59,8 @@ def build_stacks(configs: Sequence[TableConfig],
     if cfg.shuffle_ids:
       key = ('solo', cfg.name)  # id-mixed tables keep their own space
     else:
-      key = (cfg.dim, str(cfg.dtype), cfg.should_shard(ctx))
+      key = (cfg.dim, str(cfg.dtype), cfg.should_shard(ctx),
+             cfg.partition)
     groups.setdefault(key, []).append(cfg)
   stacks = []
   for key, members in groups.items():
@@ -76,7 +77,8 @@ def build_stacks(configs: Sequence[TableConfig],
         name='stack/' + '/'.join(c.name for c in members),
         vocab_size=total, dim=members[0].dim, dtype=members[0].dtype,
         sharded=members[0].should_shard(ctx) or None,
-        combiner=members[0].combiner)
+        combiner=members[0].combiner,
+        partition=members[0].partition)
     stacks.append(TableStack(tuple(members), tuple(offsets), stacked_cfg))
   return stacks
 

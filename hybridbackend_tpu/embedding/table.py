@@ -73,6 +73,9 @@ class TableConfig:
   dtype: jnp.dtype = jnp.float32
   sharded: Optional[bool] = None   # None = auto policy
   shuffle_ids: bool = False        # spread hot ids across block shards
+  partition: str = 'row'           # 'row' | 'column' (dim-axis sharding
+                                   # for large-dim tables; requires
+                                   # dim % world_size == 0)
 
   def should_shard(self, ctx: Optional[Context] = None) -> bool:
     """Reference policy: shard iff world>1 ∧ sharding enabled ∧ table is
@@ -91,7 +94,8 @@ class TableConfig:
   def padded_vocab(self, ctx: Optional[Context] = None) -> int:
     """Vocab rounded up so every shard holds the same number of rows."""
     ctx = ctx or Context.get()
-    world = ctx.world_size if self.should_shard(ctx) else 1
+    world = ctx.world_size if (self.should_shard(ctx)
+                               and self.partition == 'row') else 1
     v = self.vocab_size
     if self.shuffle_ids:
       v = 1 << (v - 1).bit_length()  # pow2 for the invertible mix
@@ -109,6 +113,13 @@ class TableConfig:
   def sharding(self, ctx: Optional[Context] = None) -> NamedSharding:
     ctx = ctx or Context.get()
     if self.should_shard(ctx):
+      if self.partition == 'column':
+        if self.dim % ctx.world_size != 0:
+          raise ValueError(
+              f'Column-sharded table {self.name!r}: dim={self.dim} must '
+              f'divide evenly by world_size={ctx.world_size} (pad dim '
+              f'or use partition="row")')
+        return NamedSharding(ctx.mesh, P(None, ctx.data_axes))
       return NamedSharding(ctx.mesh, P(ctx.data_axes, None))
     return NamedSharding(ctx.mesh, P(None, None))
 
