@@ -35,31 +35,67 @@ class Hook:
 
 
 class StepStatHook(Hook):
-  """Step-time/throughput percentiles (reference ``hooks.py:231-321``)."""
+  """Step-time/throughput percentiles (reference ``hooks.py:231-321``).
+
+  JAX dispatch is asynchronous: the wall time around ``step()`` measures
+  enqueue, not execution. The hook therefore forces a device sync every
+  ``sync_every_n`` steps (on a scalar metric when present — cheap) and
+  reports amortized per-step time over each synced window. Per-step
+  percentiles are still recorded for dispatch-stall diagnosis.
+  """
 
   def __init__(self, batch_size: Optional[int] = None,
                every_n_steps: int = 100, warmup_steps: int = 1,
+               sync_every_n: int = 20,
                log: Callable[[str], None] = LOG.info):
     self._batch_size = batch_size
     self._every_n = every_n_steps
     self._warmup = warmup_steps
+    self._sync_n = max(1, sync_every_n)
     self._log = log
     self._durations: list = []
+    self._synced: list = []           # amortized secs/step per window
     self._count = 0
     self._prev: Optional[float] = None
+    self._window_t0: Optional[float] = None
+    self._window_n = 0
 
   @property
   def durations(self) -> np.ndarray:
     return np.asarray(self._durations)
 
+  @property
+  def synced_secs_per_step(self) -> np.ndarray:
+    return np.asarray(self._synced)
+
   def before_step(self, step: int) -> None:
     self._prev = time.perf_counter()
+    if self._window_t0 is None:
+      self._window_t0 = self._prev
+
+  @staticmethod
+  def _sync(metrics: Dict[str, Any]) -> None:
+    for v in metrics.values():
+      if hasattr(v, 'block_until_ready'):
+        try:
+          float(np.asarray(v).ravel()[0] if np.asarray(v).size else 0.0)
+        except (TypeError, ValueError):
+          v.block_until_ready()
+        return
 
   def after_step(self, step: int, metrics: Dict[str, Any]) -> None:
     if self._prev is None:
       return
-    dt = time.perf_counter() - self._prev
     self._count += 1
+    self._window_n += 1
+    if self._window_n >= self._sync_n:
+      self._sync(metrics)
+      now = time.perf_counter()
+      if self._count > self._warmup and self._window_t0 is not None:
+        self._synced.append((now - self._window_t0) / self._window_n)
+      self._window_t0 = None
+      self._window_n = 0
+    dt = time.perf_counter() - self._prev
     if self._count <= self._warmup:
       return
     self._durations.append(dt)
@@ -71,8 +107,14 @@ class StepStatHook(Hook):
       return
     d = np.asarray(self._durations)
     p10, p50, p90 = np.percentile(d, [10, 50, 90])
-    msg = (f'secs/step: p10={p10:.4f} p50={p50:.4f} p90={p90:.4f}')
-    if self._batch_size:
+    msg = (f'dispatch secs/step: p10={p10:.4f} p50={p50:.4f} '
+           f'p90={p90:.4f}')
+    if self._synced:
+      s = float(np.median(self._synced))
+      msg = f'secs/step (synced): {s:.4f}, ' + msg
+      if self._batch_size:
+        msg += f', samples/sec={self._batch_size / s:,.0f}'
+    elif self._batch_size:
       msg += f', samples/sec p50={self._batch_size / p50:,.0f}'
     self._log(msg)
 
