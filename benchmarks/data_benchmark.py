@@ -51,6 +51,36 @@ def bench_parquet(args):
         f'({count} steps, {args.threads} threads)')
 
 
+def bench_csv(args):
+  """CSV baseline (reference ``data_benchmark_csv.py``): same rows read
+  through pandas' C engine in batch-size chunks — the 'vanilla' number
+  the published table compares Parquet against (docs/data.md:275-277).
+  Also reports the storage ratio (reference claims >=3.3x)."""
+  import pandas as pd
+  path = os.path.join(args.workdir, 'bench.csv')
+  rows = args.batch * max(args.steps // 10, 1)
+  if not os.path.exists(path):
+    rng = np.random.RandomState(0)
+    pd.DataFrame({f'f{c}': rng.randint(0, 100, rows)
+                  for c in range(args.cols)}).to_csv(path, index=False)
+  t0 = time.time()
+  count = 0
+  for chunk in pd.read_csv(path, chunksize=args.batch, engine='c'):
+    count += 1
+  dt = (time.time() - t0) / max(count, 1)
+  pq_path = os.path.join(args.workdir, 'bench.parquet')
+  size_note = ''
+  if os.path.exists(pq_path):
+    import pyarrow.parquet as pq
+    pq_rows = pq.ParquetFile(pq_path).metadata.num_rows
+    csv_per_row = os.path.getsize(path) / rows
+    pq_per_row = os.path.getsize(pq_path) / pq_rows
+    size_note = (f', csv/parquet bytes-per-row ratio '
+                 f'{csv_per_row / pq_per_row:.2f}x')
+  print(f'csv: {dt * 1e3:.2f} ms/step, {args.batch / dt:,.0f} '
+        f'samples/sec ({count} steps){size_note}')
+
+
 def bench_dedup(args):
   from hybridbackend_tpu.data import deduplicate, restore_deduplicated
   rng = np.random.RandomState(0)
@@ -91,7 +121,7 @@ def bench_transfer(args):
 def main():
   p = argparse.ArgumentParser()
   p.add_argument('--mode', default='parquet',
-                 choices=['parquet', 'dedup', 'transfer'])
+                 choices=['parquet', 'csv', 'dedup', 'transfer'])
   p.add_argument('--batch', type=int, default=20000)
   p.add_argument('--cols', type=int, default=200)
   p.add_argument('--steps', type=int, default=100)
@@ -101,7 +131,7 @@ def main():
                                         '/root/.cache/hbtpu_bench'))
   args = p.parse_args()
   os.makedirs(args.workdir, exist_ok=True)
-  {'parquet': bench_parquet, 'dedup': bench_dedup,
+  {'parquet': bench_parquet, 'csv': bench_csv, 'dedup': bench_dedup,
    'transfer': bench_transfer}[args.mode](args)
 
 
