@@ -93,19 +93,26 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   vocab = config.padded_vocab(ctx)
   rows_per_shard = vocab // world
 
+  # Wire compression for the embedding payload exchange (reference
+  # fp16-on-the-wire, nccl_alltoallv.cc:331-339 CastIn/CastOut): only
+  # data-movement collectives are compressed — the allgather strategy's
+  # psum_scatter REDUCES on the wire, so it stays at table precision.
+  wire = OPTIONS['comm_wire_dtype']
+  wire = None if wire in ('float32', '', None) else jnp.dtype(wire)
+
   if strategy == 'allgather':
     body = functools.partial(_lookup_allgather, axes=axes,
                              rows_per_shard=rows_per_shard)
   elif strategy == 'alltoall':
     body = functools.partial(_lookup_alltoall, axes=axes, world=world,
-                             rows_per_shard=rows_per_shard)
+                             rows_per_shard=rows_per_shard, wire=wire)
   elif strategy == 'hierarchical':
     if len(axes) != 2:
       raise ValueError('hierarchical lookup needs a 2-axis (dcn, ici) mesh')
     body = functools.partial(
         _lookup_hierarchical, dcn_axis=axes[0], ici_axis=axes[1],
         dcn_size=ctx.mesh.shape[axes[0]], ici_size=ctx.mesh.shape[axes[1]],
-        rows_per_shard=rows_per_shard)
+        rows_per_shard=rows_per_shard, wire=wire)
   else:
     raise ValueError(f'Unknown lookup strategy: {strategy!r}')
 
@@ -148,7 +155,12 @@ def _lookup_allgather(shard, ids_local, *, axes, rows_per_shard):
                               tiled=False)               # [b, D]
 
 
-def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard):
+def _wire(x, wire):
+  return x if wire is None else x.astype(wire)
+
+
+def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard,
+                     wire=None):
   """Bucketed-partition → a2a ids → local gather → a2a embeddings back.
 
   Literal TPU translation of the reference exchange
@@ -162,8 +174,8 @@ def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard):
   recv, recv_sizes = all_to_all_v_t(part.buckets, part.sizes, axes)
   local = jnp.clip(recv - me * rows_per_shard, 0, rows_per_shard - 1)
   emb = jnp.take(shard, local, axis=0, mode='clip')      # [W, cap, D]
-  back, _ = all_to_all_v_t(emb, recv_sizes, axes)        # [W, cap, D]
-  flat = back.reshape(-1, shard.shape[1])
+  back, _ = all_to_all_v_t(_wire(emb, wire), recv_sizes, axes)
+  flat = back.astype(shard.dtype).reshape(-1, shard.shape[1])
   out = jnp.take(flat, part.restore, axis=0)             # [b, D]
   # Out-of-range ids have no owner shard: zero them (same contract as the
   # allgather and gspmd strategies).
@@ -173,7 +185,7 @@ def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard):
 
 
 def _lookup_hierarchical(shard, ids_local, *, dcn_axis, ici_axis,
-                         dcn_size, ici_size, rows_per_shard):
+                         dcn_size, ici_size, rows_per_shard, wire=None):
   """Two-stage topology-aware exchange (reference ``sharding.py:207-278``,
   dual-modulo): ids travel (a,b) --ICI--> (a,b') --DCN--> (a',b') where
   the owner device of a row is (a', b'). The intra-node hop rides ICI
@@ -207,12 +219,14 @@ def _lookup_hierarchical(shard, ids_local, *, dcn_axis, ici_axis,
   local = jnp.clip(r1 - me * rows_per_shard, 0, rows_per_shard - 1)
   emb1 = jnp.take(shard, local, axis=0, mode='clip')        # [dcn, cap1, D]
 
-  # Reverse stage 1 (DCN) then reverse stage 0 (ICI).
-  b1, _ = all_to_all_v_t(emb1, s1, dcn_axis)                # [dcn, cap1, D]
+  # Reverse stage 1 (DCN) then reverse stage 0 (ICI); the payload rides
+  # both hops in the wire dtype.
+  b1, _ = all_to_all_v_t(_wire(emb1, wire), s1, dcn_axis)   # [dcn, cap1, D]
   emb_ids1 = jnp.take(b1.reshape(-1, d), p1.restore, axis=0)
   emb0 = emb_ids1.reshape(ici_size, -1, d)                  # [ici, n, D]
   b0, _ = all_to_all_v_t(emb0, s0, ici_axis)                # [ici, n, D]
-  out = jnp.take(b0.reshape(-1, d), p0.restore, axis=0)     # [b, D]
+  out = jnp.take(b0.astype(shard.dtype).reshape(-1, d), p0.restore,
+                 axis=0)                                    # [b, D]
   return jnp.where(valid[:, None], out, 0)
 
 

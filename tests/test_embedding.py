@@ -157,3 +157,21 @@ class TestLookupSparse:
     out = lookup_sparse(table, ids, mask, cfg, combiner='sum')
     np.testing.assert_allclose(np.asarray(out_w), 2 * np.asarray(out),
                                rtol=1e-5)
+
+
+def test_wire_compression_lookup():
+  """bf16-on-the-wire for the alltoall/hierarchical payload exchange
+  (reference fp16 wire casts, nccl_alltoallv.cc:331-339): results match
+  full precision to bf16 tolerance."""
+  import hybridbackend_tpu as hb
+  from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
+  ctx = hb.Context.get()
+  cfg = TableConfig('w', 512, 8)
+  tbl = create_table(cfg, jax.random.PRNGKey(0), ctx)
+  ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, 64), jnp.int32)
+  for strategy in ('alltoall', 'hierarchical'):
+    full = np.asarray(lookup(tbl, ids, cfg, ctx=ctx, strategy=strategy))
+    with hb.scope(comm_wire_dtype='bfloat16'):
+      comp = np.asarray(lookup(tbl, ids, cfg, ctx=ctx, strategy=strategy))
+    assert not np.array_equal(comp, full) or np.allclose(comp, full)
+    np.testing.assert_allclose(comp, full, rtol=1e-2, atol=1e-2)
