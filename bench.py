@@ -23,7 +23,24 @@ import time
 BATCH = 20000
 COLS = 200
 STEPS = 100
-CACHE = os.environ.get('HB_BENCH_CACHE', '/root/.cache/hbtpu_bench')
+
+
+def _default_cache() -> str:
+  """Prefer tmpfs: containerized hosts often cap the page cache far
+  below the 3.2 GB benchmark file, which would turn this decode
+  benchmark into a disk benchmark (the reference measured on an
+  SSD-cached file, docs/data.md:283-285)."""
+  shm = '/dev/shm'
+  try:
+    import shutil
+    if shutil.disk_usage(shm).free > 8 << 30:
+      return os.path.join(shm, 'hbtpu_bench')
+  except OSError:
+    pass
+  return '/root/.cache/hbtpu_bench'
+
+
+CACHE = os.environ.get('HB_BENCH_CACHE', _default_cache())
 REF_MS_1T = 397.88   # docs/data.md:279 (1 thread)
 REF_MS_20T = 21.67   # docs/data.md:280 (20 threads)
 
@@ -54,6 +71,15 @@ def ensure_file() -> str:
   return path
 
 
+def warm_page_cache(path: str) -> None:
+  """Fault the whole file into the page cache so the measurement is the
+  decode pipeline, not disk state (the reference's protocol averages
+  repeated passes on an SSD-cached file, docs/data.md:283-285)."""
+  with open(path, 'rb') as f:
+    while f.read(1 << 24):
+      pass
+
+
 def main():
   path = ensure_file()
   from hybridbackend_tpu.data import ParquetDataset
@@ -61,7 +87,8 @@ def main():
   threads = min(os.cpu_count() or 1, 20)
   ds = ParquetDataset(path, batch_size=BATCH, drop_remainder=True,
                       num_parallel_reads=threads)
-  # Warm one batch (open readers, fault in the page cache head).
+  warm_page_cache(path)
+  # Warm one batch (open readers, build the native pipeline).
   it = iter(ds)
   next(it)
 
