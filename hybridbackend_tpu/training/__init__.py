@@ -7,3 +7,5 @@ from hybridbackend_tpu.training.hooks import (
     Hook, StepStatHook, Policy, LoggingHook)
 from hybridbackend_tpu.training.sparse_step import (
     SparseTrainState, make_sparse_train_step)
+from hybridbackend_tpu.training.optimizer import (
+    lr_with_linear_warmup_and_polynomial_decay)

@@ -116,4 +116,41 @@ def sharding_aware_init(optimizer: optax.GradientTransformation,
 
 
 __all__ = ['is_embedding_path', 'split_trees', 'multi_optimizer',
+           'lr_with_linear_warmup_and_polynomial_decay',
            'sharding_aware_init']
+
+
+def lr_with_linear_warmup_and_polynomial_decay(
+    initial_value: float = 24.0,
+    scaling_factor: float = 1.0,
+    warmup_steps=None,
+    decay_steps=None,
+    decay_start_step=None,
+    decay_exp: int = 2,
+    epsilon: float = 1e-7):
+  """Optax-style schedule: linear warmup then polynomial decay.
+
+  Port of the reference tutorial's DLRM learning-rate schedule
+  (``/root/reference/docs/tutorial/ranking/optimization.py:26-80``).
+  Returns ``schedule(step) -> lr`` usable as any optax learning rate.
+  """
+  import jax.numpy as jnp
+  initial_lr = initial_value * scaling_factor
+
+  def schedule(step):
+    step = jnp.asarray(step, jnp.float32)
+    if warmup_steps is None:
+      return jnp.asarray(initial_lr, jnp.float32)
+    warmup_rate = initial_lr / warmup_steps
+    warmup_lr = initial_lr - (warmup_steps - step) * warmup_rate
+    if decay_steps is None or decay_start_step is None:
+      return warmup_lr
+    decayed = jnp.minimum(step - decay_start_step, decay_steps)
+    decay_lr = jnp.maximum(
+        initial_lr * ((decay_steps - decayed) / decay_steps) ** decay_exp,
+        epsilon)
+    return jnp.where(step < warmup_steps, warmup_lr,
+                     jnp.where(step > decay_start_step, decay_lr,
+                               initial_lr))
+
+  return schedule

@@ -123,3 +123,35 @@ def test_embedding_scope_controls_sharding():
     assert hb.OPTIONS['emb_sharded'] is True
   with hb.embedding_scope(emb_lookup_strategy='alltoall'):
     assert hb.OPTIONS['emb_lookup_strategy'] == 'alltoall'
+
+
+def test_wraps_dispatch():
+  """hb.wraps parity (reference tensorflow/wraps.py:30-37)."""
+  import optax
+  import hybridbackend_tpu as hb
+  import jax.numpy as jnp
+  opt_factory = hb.wraps(optax.adagrad(0.1))
+  opt = opt_factory({'tables': {}, 'net': {'w': jnp.ones(2)}})
+  assert hasattr(opt, 'init') and hasattr(opt, 'update')
+  assert hb.wraps(42) == 42  # pass-through
+  import flax.linen as nn
+
+  class M(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+      return nn.Dense(1)(x)
+
+  wrapped = hb.wraps(M())
+  assert callable(wrapped)
+
+
+def test_lr_schedule():
+  from hybridbackend_tpu.training import (
+      lr_with_linear_warmup_and_polynomial_decay as lr)
+  s = lr(initial_value=24.0, warmup_steps=100, decay_steps=1000,
+         decay_start_step=200)
+  assert float(s(0)) < 1e-3
+  assert abs(float(s(100)) - 24.0) < 1e-5
+  assert abs(float(s(150)) - 24.0) < 1e-5   # plateau between phases
+  assert 0 < float(s(700)) < 24.0
+  assert float(s(10_000)) <= float(s(700))  # monotone decay
