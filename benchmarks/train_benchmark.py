@@ -55,12 +55,8 @@ def main():
   args = p.parse_args()
 
   if args.cpu:
-    import os
-    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
-                               + f' --xla_force_host_platform_device_count'
-                                 f'={args.cpu}')
-    import jax
-    jax.config.update('jax_platforms', 'cpu')
+    from hybridbackend_tpu.framework.platform import force_host_devices
+    force_host_devices(args.cpu)
   import jax
   import jax.numpy as jnp
   import numpy as np

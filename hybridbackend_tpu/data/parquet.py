@@ -166,8 +166,12 @@ class ParquetDataset:
     row group / ORC stripe, honoring the host partition."""
     partition_groups = (self._partition_count > 1
                         and len(self._files) < self._partition_count)
-    for fname in self._my_files():
-      fidx = self._files.index(fname)
+    if self._partition_count <= 1 or partition_groups:
+      my = list(enumerate(self._files))
+    else:
+      my = list(enumerate(self._files))[
+          self._partition_index::self._partition_count]
+    for fidx, fname in my:
       if self._format == 'orc':
         import pyarrow.orc as po
         n_chunks = po.ORCFile(fname).nstripes
@@ -255,12 +259,27 @@ class ParquetDataset:
             and native_tabular.supports(self._fields)):
       return None
     try:
+      if len(self._files) > 1:
+        # The native plane memcpy's with the first file's element
+        # sizes; heterogeneous schemas (dtype drift across files) must
+        # take the Python path, which upcasts on concat.
+        base = {f.name: (f.dtype, f.ragged_rank)
+                for f in infer_fields(self._files[0], self._format)}
+        for fname in self._files[1:]:
+          for f in infer_fields(fname, self._format):
+            if f.name in base and base[f.name] != (f.dtype,
+                                                   f.ragged_rank):
+              return None
       return native_tabular.NativeTabularIterator(
           self._files, list(self._task_indices()), self._fields,
           self._batch_size, drop_remainder=self._drop_remainder,
           shuffle=self._shuffle, shuffle_buffer=self._shuffle_buffer,
           seed=self._seed, threads=self._threads, format=self._format)
-    except RuntimeError:
+    except Exception:  # any native failure falls back to the Python path
+      import logging
+      logging.getLogger('hybridbackend_tpu').warning(
+          'native data plane rejected this dataset; using Python path',
+          exc_info=True)
       return None
 
   def __iter__(self) -> Iterator[Batch]:

@@ -51,12 +51,13 @@ def _use_stream(impl: str) -> bool:
 
 
 def _stream_adagrad(table, acc, rows, g, lr, eps):
-  """Sort + fused Pallas Adagrad (exact row-total semantics)."""
+  """Sort + fused Pallas Adagrad (exact row-total semantics). ``lr``
+  may be a traced scalar (e.g. a schedule value)."""
   from hybridbackend_tpu.ops.pallas.scatter import adagrad_update_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
   return adagrad_update_sorted(table, acc, rows[order], g[order],
-                               lr=float(lr), eps=float(eps),
+                               lr=lr, eps=float(eps),
                                interpret=interpret)
 
 
@@ -229,6 +230,7 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
 
 
 def _stream_sgd(table, rows, g, lr):
+  # lr scales the payload, so traced learning rates work by construction.
   from hybridbackend_tpu.ops.pallas.scatter import scatter_add_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'

@@ -76,7 +76,7 @@ def build_stacks(configs: Sequence[TableConfig],
     stacked_cfg = TableConfig(
         name='stack/' + '/'.join(c.name for c in members),
         vocab_size=total, dim=members[0].dim, dtype=members[0].dtype,
-        sharded=members[0].should_shard(ctx) or None,
+        sharded=bool(members[0].should_shard(ctx)),
         combiner=members[0].combiner,
         partition=members[0].partition)
     stacks.append(TableStack(tuple(members), tuple(offsets), stacked_cfg))

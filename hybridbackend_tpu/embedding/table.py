@@ -110,6 +110,17 @@ class TableConfig:
     return (ids.astype(jnp.uint32) * jnp.uint32(c) % jnp.uint32(n)).astype(
         ids.dtype)
 
+  def resolve(self, ctx: Optional[Context] = None) -> 'TableConfig':
+    """Bake the CURRENT shard policy into an explicit config.
+
+    ``should_shard`` consults scoped options at every call; a table
+    created inside ``hb.embedding_scope(...)`` but looked up outside it
+    would otherwise flip policy. Resolve the config at creation time
+    when the scopes differ."""
+    if self.sharded is not None:
+      return self
+    return dataclasses.replace(self, sharded=bool(self.should_shard(ctx)))
+
   def sharding(self, ctx: Optional[Context] = None) -> NamedSharding:
     ctx = ctx or Context.get()
     if self.should_shard(ctx):

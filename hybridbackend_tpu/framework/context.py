@@ -182,8 +182,14 @@ def scope(**kwargs) -> Iterator[Context]:
 def embedding_scope(sharded: bool = True, **kwargs) -> Iterator[Context]:
   """Analogue of the reference's ``hb.embedding_scope()``
   (``tensorflow/__init__.py:58-64``), which marks tables built inside it
-  for sharding. Tables created in this scope (``TableConfig`` without an
-  explicit ``sharded=``) follow the scope's policy; extra kwargs override
-  any ``emb_*`` option (e.g. ``emb_lookup_strategy='alltoall'``)."""
+  for sharding. While the scope is active, auto-policy tables
+  (``TableConfig`` without an explicit ``sharded=``) follow the scope's
+  policy; extra kwargs override any ``emb_*`` option (e.g.
+  ``emb_lookup_strategy='alltoall'``).
+
+  The policy is scope-scoped, not creation-scoped: lookups must run
+  under the same scope (or options) as table creation. To bake the
+  policy into the config at creation time, use
+  ``TableConfig.resolve()`` inside the scope."""
   with OPTIONS.override(emb_sharded=sharded, **kwargs):
     yield Context.get()

@@ -197,6 +197,19 @@ class RebatchBuffer {
                            BatchToken* token) {
     std::shared_ptr<arrow::Array> first;
     ARROW_RETURN_NOT_OK(SpanArray(spans[0], c, &first));
+    // All spans of a batch must agree on the physical type: the emit
+    // paths memcpy with the first span's element size, so schema drift
+    // across files must error here, never corrupt.
+    for (size_t s = 1; s < spans.size(); ++s) {
+      std::shared_ptr<arrow::Array> a;
+      ARROW_RETURN_NOT_OK(SpanArray(spans[s], c, &a));
+      if (!a->type()->Equals(*first->type())) {
+        return arrow::Status::Invalid(
+            "column ", cols_[c], ": schema drift across files (",
+            first->type()->ToString(), " vs ", a->type()->ToString(),
+            "); read heterogeneous files via the Python path");
+      }
+    }
     bool ragged = first->type_id() == arrow::Type::LIST ||
                   first->type_id() == arrow::Type::LARGE_LIST;
     if (ragged) return EmitRagged(c, spans, n, perm, out, token);
@@ -490,9 +503,12 @@ class ParquetAccess : public TableAccess {
                           std::shared_ptr<arrow::Table>* out) override {
     ARROW_ASSIGN_OR_RAISE(*out,
                           reader_->ReadRowGroup(chunk, col_indices_));
-    if ((*out)->column(0)->num_chunks() > 1) {
-      ARROW_ASSIGN_OR_RAISE(
-          *out, (*out)->CombineChunks(arrow::default_memory_pool()));
+    for (int c = 0; c < (*out)->num_columns(); ++c) {
+      if ((*out)->column(c)->num_chunks() > 1) {
+        ARROW_ASSIGN_OR_RAISE(
+            *out, (*out)->CombineChunks(arrow::default_memory_pool()));
+        break;
+      }
     }
     return arrow::Status::OK();
   }

@@ -41,8 +41,8 @@ _CHUNK = 256         # update rows DMA'd per inner iteration (smaller
 
 def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
                     upd_s, gsum_s, sems, *, block_rows, chunk,
-                    mode, lr, eps, precision,
-                    acc_ref=None, acc_out_ref=None):
+                    mode, eps, precision,
+                    lr_ref=None, acc_ref=None, acc_out_ref=None):
   """Grid dim 0 walks table blocks.
 
   The per-block update is computed as a ONE-HOT MXU MATMUL, not a
@@ -100,6 +100,7 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
   else:  # adagrad on per-row gradient totals (untouched rows: gsum=0)
     a = acc_ref[...] + gsum * gsum
     acc_out_ref[...] = a
+    lr = lr_ref[0]  # scalar-prefetched: traced learning rates work
     out_ref[...] = tbl_ref[...] - lr * gsum / (jnp.sqrt(a) + eps)
 
 
@@ -183,7 +184,7 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
   grid = (pl.cdiv(v, block_rows),)
   kernel = functools.partial(
       _scatter_kernel, block_rows=block_rows, chunk=chunk, mode='add',
-      lr=0.0, eps=0.0, precision=jax.lax.Precision(precision.lower()))
+      eps=0.0, precision=jax.lax.Precision(precision.lower()))
   return pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -209,12 +210,12 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
   )(starts, rows, updates, table)
 
 
-@functools.partial(jax.jit, static_argnames=('lr', 'eps', 'block_rows',
+@functools.partial(jax.jit, static_argnames=('eps', 'block_rows',
                                              'chunk', 'precision',
                                              'interpret'))
 def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           rows: jax.Array, updates: jax.Array,
-                          lr: float, eps: float = 1e-7,
+                          lr, eps: float = 1e-7,
                           block_ids: Optional[jax.Array] = None,
                           block_rows: int = _BLOCK_ROWS,
                           chunk: int = _CHUNK,
@@ -237,31 +238,33 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
   rows = rows.reshape(-1, chunk)
   grid = (pl.cdiv(v, block_rows),)
 
-  def kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, acc_ref,
+  lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
+
+  def kernel(starts_ref, lr_ref, rows_hbm, upd_hbm, tbl_ref, acc_ref,
              tbl_out, acc_out, upd_s, gsum_s, sems):
     _scatter_kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, tbl_out,
                     upd_s, gsum_s, sems, block_rows=block_rows,
-                    chunk=chunk, mode='adagrad', lr=lr, eps=eps,
+                    chunk=chunk, mode='adagrad', eps=eps,
                     precision=jax.lax.Precision(precision.lower()),
-                    acc_ref=acc_ref, acc_out_ref=acc_out)
+                    lr_ref=lr_ref, acc_ref=acc_ref, acc_out_ref=acc_out)
 
   return pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=1,
+          num_scalar_prefetch=2,  # starts + lr
           grid=grid,
           in_specs=[
               pl.BlockSpec(memory_space=pltpu.VMEM),    # rows (resident)
               pl.BlockSpec(memory_space=pltpu.ANY),     # updates (HBM)
-              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
                            memory_space=pltpu.VMEM),
-              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
                            memory_space=pltpu.VMEM),
           ],
           out_specs=(
-              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
                            memory_space=pltpu.VMEM),
-              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
+              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
                            memory_space=pltpu.VMEM),
           ),
           scratch_shapes=[
@@ -272,9 +275,9 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
       ),
       out_shape=(jax.ShapeDtypeStruct((v, d), table.dtype),
                  jax.ShapeDtypeStruct((v, d), acc.dtype)),
-      input_output_aliases={3: 0, 4: 1},
+      input_output_aliases={4: 0, 5: 1},
       interpret=interpret,
-  )(starts, rows, updates, table, acc)
+  )(starts, lr_arr, rows, updates, table, acc)
 
 
 __all__ = ['scatter_add_sorted', 'adagrad_update_sorted', 'pad_updates']

@@ -102,14 +102,9 @@ def main():
   if not opts.no_distributed:
     import jax
     if 'HB_RUN_PROCESS_ID' in os.environ:
-      # Simulated children must run on CPU. JAX_PLATFORMS in the env is
-      # not enough where a platform plugin wins selection (it is set
-      # above for environments that honor it); the config update is
-      # authoritative.
-      try:
-        jax.config.update('jax_platforms', 'cpu')
-      except RuntimeError:
-        pass
+      # Simulated children must run on CPU (see framework/platform.py).
+      from hybridbackend_tpu.framework.platform import force_host_devices
+      force_host_devices(opts.devices_per_process)
       jax.distributed.initialize(
           coordinator_address=os.environ['HB_RUN_COORDINATOR'],
           num_processes=int(os.environ['HB_RUN_NUM_PROCESSES']),

@@ -86,18 +86,21 @@ class StepStatHook(Hook):
   def after_step(self, step: int, metrics: Dict[str, Any]) -> None:
     if self._prev is None:
       return
+    dt = time.perf_counter() - self._prev  # before any sync stall
     self._count += 1
+    if self._count <= self._warmup:
+      # Warmup (compile) steps never enter a synced window.
+      self._window_t0 = None
+      self._window_n = 0
+      return
     self._window_n += 1
     if self._window_n >= self._sync_n:
       self._sync(metrics)
       now = time.perf_counter()
-      if self._count > self._warmup and self._window_t0 is not None:
+      if self._window_t0 is not None:
         self._synced.append((now - self._window_t0) / self._window_n)
       self._window_t0 = None
       self._window_n = 0
-    dt = time.perf_counter() - self._prev
-    if self._count <= self._warmup:
-      return
     self._durations.append(dt)
     if self._every_n and len(self._durations) % self._every_n == 0:
       self._report()

@@ -155,3 +155,15 @@ def test_lr_schedule():
   assert abs(float(s(150)) - 24.0) < 1e-5   # plateau between phases
   assert 0 < float(s(700)) < 24.0
   assert float(s(10_000)) <= float(s(700))  # monotone decay
+
+
+def test_table_config_resolve_captures_scope_policy():
+  import hybridbackend_tpu as hb
+  from hybridbackend_tpu.embedding import TableConfig
+  cfg = TableConfig('r', 4096, 8)
+  with hb.embedding_scope(sharded=False):
+    baked = cfg.resolve()
+  assert baked.sharded is False
+  assert not baked.should_shard()  # holds outside the scope too
+  with hb.embedding_scope():
+    assert cfg.resolve().sharded is True

@@ -241,3 +241,23 @@ class TestStreamImpl:
       t_s = sparse_sgd_apply(table, ids, demb, cfg, lr=0.5, impl='stream')
       np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_x),
                                  rtol=1e-4, atol=1e-5)
+
+  def test_stream_supports_traced_lr(self):
+    """Schedule-driven (traced) learning rates must work in the stream
+    impl (lr rides scalar prefetch, not a static closure)."""
+    cfg = TableConfig('t', VOCAB, DIM, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(3))
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(11)
+    ids = jnp.asarray(rng.randint(0, VOCAB, BATCH), jnp.int32)
+    demb = jnp.asarray(rng.randn(BATCH, DIM), jnp.float32)
+
+    @jax.jit
+    def step(table, state, lr):
+      return sparse_adagrad_apply(table, state, ids, demb, cfg, lr,
+                                  impl='stream')
+
+    t1, _ = step(table, state, jnp.float32(0.1))
+    t2, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1,
+                                 impl='stream')
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
