@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_ROWS = 2048   # table rows per grid step (VMEM block; lane-padded
                      # to 128 in VMEM, so keep blocks modest)
-_CHUNK = 256         # update rows DMA'd per inner iteration (smaller
+_CHUNK = 128         # update rows DMA'd per inner iteration (smaller
                      # chunks waste less one-hot work on sparse blocks)
 
 
@@ -66,42 +66,56 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
   b = pl.program_id(0)
   start = starts_ref[b]
   end = starts_ref[b + 1]
-  gsum_s[...] = jnp.zeros_like(gsum_s)
 
-  def process_chunk(c0, _):
-    c0 = pl.multiple_of(c0, chunk)
-    ci = c0 // chunk
-    upd_cp = pltpu.make_async_copy(
-        upd_hbm.at[pl.ds(c0, chunk), :], upd_s, sems.at[1])
-    upd_cp.start()
-    upd_cp.wait()
-    # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
-    local = rows_ref[pl.ds(ci, 1), :] - b * block_rows  # [1, chunk]
-    # Transposed one-hot via broadcast compare: [block_rows, chunk].
-    onehot_t = (jax.lax.broadcasted_iota(
-        jnp.int32, (block_rows, chunk), 0) == local).astype(upd_s.dtype)
-    gsum_s[...] += jax.lax.dot_general(
-        onehot_t, upd_s[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32).astype(gsum_s.dtype)
-    return c0 + chunk
+  # Fast path for blocks with no updates (zipf-skewed real workloads
+  # leave most of the table untouched each step): pure pass-through,
+  # no gsum zeroing, no matmul, no optimizer math.
+  @pl.when(end <= start)
+  def _():
+    out_ref[...] = tbl_ref[...]
+    if mode == 'adagrad':
+      acc_out_ref[...] = acc_ref[...]
 
-  # Walk this block's update range in fixed-size, CHUNK-ALIGNED pieces
-  # (DMA starts must be tile-aligned; out-of-range rows a rounded-down
-  # chunk drags in vanish in the one-hot).
-  jax.lax.while_loop(lambda c: c < end, lambda c: process_chunk(c, None),
-                     (start // chunk) * chunk)
+  @pl.when(end > start)
+  def _():
+    gsum_s[...] = jnp.zeros_like(gsum_s)
 
-  d = out_ref.shape[1]
-  gsum = gsum_s[...][:, :d]
-  if mode == 'add':
-    out_ref[...] = tbl_ref[...] + gsum
-  else:  # adagrad on per-row gradient totals (untouched rows: gsum=0)
-    a = acc_ref[...] + gsum * gsum
-    acc_out_ref[...] = a
-    lr = lr_ref[0]  # scalar-prefetched: traced learning rates work
-    out_ref[...] = tbl_ref[...] - lr * gsum / (jnp.sqrt(a) + eps)
+    def process_chunk(c0):
+      c0 = pl.multiple_of(c0, chunk)
+      upd_cp = pltpu.make_async_copy(
+          upd_hbm.at[pl.ds(c0, chunk), :], upd_s, sems.at[0])
+      upd_cp.start()
+      upd_cp.wait()
+      ci = c0 // chunk
+      # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
+      local = rows_ref[pl.ds(ci, 1), :] - b * block_rows  # [1, chunk]
+      # Transposed one-hot via broadcast compare: [block_rows, chunk].
+      onehot_t = (jax.lax.broadcasted_iota(
+          jnp.int32, (block_rows, chunk), 0) == local).astype(
+              upd_s.dtype)
+      gsum_s[...] += jax.lax.dot_general(
+          onehot_t, upd_s[...],
+          dimension_numbers=(((1,), (0,)), ((), ())),
+          precision=precision,
+          preferred_element_type=jnp.float32).astype(gsum_s.dtype)
+      return c0 + chunk
+
+    # Walk this block's update range in CHUNK-ALIGNED pieces (DMA
+    # starts must be tile-aligned; out-of-range rows a rounded-down
+    # chunk drags in vanish in the one-hot). A double-buffered variant
+    # measured no faster — the matmul, not DMA latency, is the cost.
+    jax.lax.while_loop(lambda c: c < end, process_chunk,
+                       (start // chunk) * chunk)
+
+    d = out_ref.shape[1]
+    gsum = gsum_s[...][:, :d]
+    if mode == 'add':
+      out_ref[...] = tbl_ref[...] + gsum
+    else:  # adagrad on per-row gradient totals (untouched rows: gsum=0)
+      a = acc_ref[...] + gsum * gsum
+      acc_out_ref[...] = a
+      lr = lr_ref[0]  # scalar-prefetched: traced learning rates work
+      out_ref[...] = tbl_ref[...] - lr * gsum / (jnp.sqrt(a) + eps)
 
 
 def _block_starts(rows: jax.Array, vocab: int, block_rows: int
