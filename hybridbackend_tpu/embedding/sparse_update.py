@@ -288,5 +288,131 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
   return fn(table, rows_b, demb)
 
 
-__all__ = ['SparseOptState', 'init_adagrad_state', 'sparse_adagrad_apply',
+__all__ = ['SparseOptState', 'init_adagrad_state', 'init_adam_state',
+           'sparse_adagrad_apply', 'sparse_adam_apply',
            'sparse_sgd_apply']
+
+
+def _adam_rows(table, m, v, rows, gsum, lr, step, b1, b2, eps):
+  """LazyAdam on unique `rows` (mode='drop' skips out-of-range):
+  moments decay only for the supplied rows."""
+  t = jnp.asarray(step, jnp.float32)
+  bc1 = 1.0 - jnp.asarray(b1, jnp.float32) ** t
+  bc2 = 1.0 - jnp.asarray(b2, jnp.float32) ** t
+  m_rows = jnp.take(m, rows, axis=0, mode='fill', fill_value=0.0)
+  v_rows = jnp.take(v, rows, axis=0, mode='fill', fill_value=0.0)
+  m_new = b1 * m_rows + (1 - b1) * gsum
+  v_new = b2 * v_rows + (1 - b2) * gsum * gsum
+  m = m.at[rows].set(m_new, mode='drop')
+  v = v.at[rows].set(v_new, mode='drop')
+  upd = lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+  table = table.at[rows].add(-upd, mode='drop')
+  return table, m, v
+
+
+def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
+  from hybridbackend_tpu.ops.pallas.scatter import adam_update_sorted
+  order = jnp.argsort(rows)
+  interpret = jax.default_backend() != 'tpu'
+  return adam_update_sorted(table, m, v, rows[order], g[order],
+                            lr=lr, step=step, b1=float(b1), b2=float(b2),
+                            eps=float(eps), interpret=interpret)
+
+
+def init_adam_state(table: jax.Array) -> SparseOptState:
+  """Adam moment slots co-sharded with the table."""
+  zeros = jax.jit(jnp.zeros_like,
+                  out_shardings=table.sharding
+                  if hasattr(table, 'sharding') else None)
+  return SparseOptState(acc=(zeros(table), zeros(table)))
+
+
+def sparse_adam_apply(table: jax.Array, state: SparseOptState,
+                      ids: jax.Array, demb: jax.Array,
+                      config: TableConfig, lr, step,
+                      b1: float = 0.9, b2: float = 0.999,
+                      eps: float = 1e-8,
+                      impl: str = 'auto',
+                      ctx: Optional[Context] = None
+                      ) -> Tuple[jax.Array, SparseOptState]:
+  """LazyAdam on touched rows only (TF ``LazyAdam`` semantics: untouched
+  rows' moments do not decay). ``state.acc = (m, v)``; ``step`` is the
+  1-based step count for bias correction (may be traced).
+
+  Reference parity: the reference wraps arbitrary TF optimizers whose
+  sparse ``apply`` touches only IndexedSlices rows
+  (``optimizer.py:55-185`` + ``gradient.py:197-207``); Adagrad/SGD/Adam
+  cover its tutorial configurations.
+  """
+  ctx = ctx or Context.get()
+  rows_b = config.row_index(ids.reshape(-1), ctx)
+  demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
+  m, v = state.acc
+
+  if not config.should_shard(ctx):
+    if ctx.world_size > 1:
+      def gather(r, g):
+        return (jax.lax.all_gather(r, ctx.data_axes, tiled=True),
+                jax.lax.all_gather(g, ctx.data_axes, tiled=True))
+      rows_b, demb = jax.shard_map(
+          gather, mesh=ctx.mesh,
+          in_specs=(P(ctx.data_axes), P(ctx.data_axes, None)),
+          out_specs=(P(), P()), check_vma=False)(rows_b, demb)
+    if _use_stream(impl):
+      table, m, v = _stream_adam(table, m, v, rows_b, demb, lr, step,
+                                 b1, b2, eps)
+    else:
+      rows, gsum = _dedup_grads(rows_b, demb, oob_row=table.shape[0])
+      table, m, v = _adam_rows(table, m, v, rows, gsum, lr, step,
+                               b1, b2, eps)
+    return table, SparseOptState(acc=(m, v))
+
+  axes = ctx.data_axes
+  if config.partition == 'column':
+    vocab_c = config.padded_vocab(ctx)
+
+    def body_c(shard, m_s, v_s, ids_local, demb_local):
+      all_ids = jax.lax.all_gather(ids_local, axes, tiled=True)
+      slice_g = jax.lax.all_to_all(demb_local, axes, split_axis=1,
+                                   concat_axis=0, tiled=True)
+      if _use_stream(impl):
+        return _stream_adam(shard, m_s, v_s, all_ids, slice_g, lr,
+                            step, b1, b2, eps)
+      rows, gsum = _dedup_grads(all_ids, slice_g, oob_row=vocab_c)
+      return _adam_rows(shard, m_s, v_s, rows, gsum, lr, step,
+                        b1, b2, eps)
+
+    fn = jax.shard_map(
+        body_c, mesh=ctx.mesh,
+        in_specs=(P(None, axes), P(None, axes), P(None, axes),
+                  P(axes), P(axes, None)),
+        out_specs=(P(None, axes),) * 3, check_vma=False)
+    table, m, v = fn(table, m, v, rows_b, demb)
+    return table, SparseOptState(acc=(m, v))
+
+  world = ctx.world_size
+  rows_per_shard = config.padded_vocab(ctx) // world
+
+  def body(shard, m_s, v_s, ids_local, demb_local):
+    me = axis_index_t(axes)
+    all_ids = jax.lax.all_gather(ids_local, axes, tiled=True)
+    all_demb = jax.lax.all_gather(demb_local, axes, tiled=True)
+    owner = all_ids // rows_per_shard
+    mine = (owner == me)
+    g = jnp.where(mine[:, None], all_demb, 0)
+    if _use_stream(impl):
+      local = jnp.where(mine, all_ids - me * rows_per_shard, -1)
+      return _stream_adam(shard, m_s, v_s, local, g, lr, step,
+                          b1, b2, eps)
+    local = jnp.where(mine, all_ids - me * rows_per_shard,
+                      rows_per_shard)
+    rows, gsum = _dedup_grads(local, g, oob_row=rows_per_shard)
+    return _adam_rows(shard, m_s, v_s, rows, gsum, lr, step, b1, b2, eps)
+
+  fn = jax.shard_map(
+      body, mesh=ctx.mesh,
+      in_specs=(P(axes, None), P(axes, None), P(axes, None),
+                P(axes), P(axes, None)),
+      out_specs=(P(axes, None),) * 3, check_vma=False)
+  table, m, v = fn(table, m, v, rows_b, demb)
+  return table, SparseOptState(acc=(m, v))

@@ -75,6 +75,9 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
     out_ref[...] = tbl_ref[...]
     if mode == 'adagrad':
       acc_out_ref[...] = acc_ref[...]
+    elif mode == 'adam':
+      acc_out_ref[0][...] = acc_ref[0][...]
+      acc_out_ref[1][...] = acc_ref[1][...]
 
   @pl.when(end > start)
   def _():
@@ -111,11 +114,30 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
     gsum = gsum_s[...][:, :d]
     if mode == 'add':
       out_ref[...] = tbl_ref[...] + gsum
-    else:  # adagrad on per-row gradient totals (untouched rows: gsum=0)
+    elif mode == 'adagrad':
+      # Adagrad on per-row gradient totals (untouched rows: gsum=0).
       a = acc_ref[...] + gsum * gsum
       acc_out_ref[...] = a
       lr = lr_ref[0]  # scalar-prefetched: traced learning rates work
       out_ref[...] = tbl_ref[...] - lr * gsum / (jnp.sqrt(a) + eps)
+    else:  # lazy adam: moments decay only on touched rows
+      lr = lr_ref[0]
+      b1 = lr_ref[1]
+      b2 = lr_ref[2]
+      bc1 = lr_ref[3]   # 1 - b1**t (bias correction, computed outside)
+      bc2 = lr_ref[4]
+      touched = (jnp.abs(gsum).max(axis=1, keepdims=True) > 0).astype(
+          gsum.dtype)
+      m_ref, v_ref = acc_ref
+      m_out, v_out = acc_out_ref
+      m = jnp.where(touched > 0, b1 * m_ref[...] + (1 - b1) * gsum,
+                    m_ref[...])
+      v = jnp.where(touched > 0, b2 * v_ref[...] + (1 - b2) * gsum * gsum,
+                    v_ref[...])
+      m_out[...] = m
+      v_out[...] = v
+      out_ref[...] = tbl_ref[...] - touched * (
+          lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
 
 
 def _block_starts(rows: jax.Array, vocab: int, block_rows: int
@@ -294,4 +316,78 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
   )(starts, lr_arr, rows, updates, table, acc)
 
 
-__all__ = ['scatter_add_sorted', 'adagrad_update_sorted', 'pad_updates']
+__all__ = ['scatter_add_sorted', 'adagrad_update_sorted',
+           'adam_update_sorted', 'sorted_segment_totals', 'pad_updates']
+
+
+@functools.partial(jax.jit, static_argnames=('b1', 'b2', 'eps',
+                                             'block_rows', 'chunk',
+                                             'precision', 'interpret'))
+def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
+                       rows: jax.Array, updates: jax.Array,
+                       lr, step, b1: float = 0.9, b2: float = 0.999,
+                       eps: float = 1e-8,
+                       block_ids: Optional[jax.Array] = None,
+                       block_rows: int = 1024,
+                       chunk: int = _CHUNK,
+                       precision: str = 'highest',
+                       interpret: bool = False
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+  """Fused sparse LazyAdam: one table stream updates both moments and
+  the table on touched rows only (moments of untouched rows do NOT
+  decay — TF ``LazyAdam`` semantics; rows whose gradient totals are
+  exactly zero count as untouched). ``lr`` and ``step`` (1-based, for
+  bias correction) may be traced. Returns (table, m, v)."""
+  d = table.shape[1]
+  if block_ids is None:
+    block_ids = rows
+  block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
+                             jnp.zeros((block_ids.shape[0], 1)), chunk)
+  rows, updates = pad_updates(rows.astype(jnp.int32),
+                              updates.astype(table.dtype), chunk)
+  starts = _block_starts(block_ids, table.shape[0], block_rows)
+  rows = rows.reshape(-1, chunk)
+  grid = (pl.cdiv(table.shape[0], block_rows),)
+  t = jnp.asarray(step, jnp.float32)
+  scalars = jnp.stack([
+      jnp.asarray(lr, jnp.float32),
+      jnp.asarray(b1, jnp.float32),
+      jnp.asarray(b2, jnp.float32),
+      1.0 - jnp.asarray(b1, jnp.float32) ** t,
+      1.0 - jnp.asarray(b2, jnp.float32) ** t,
+  ])
+
+  def kernel(starts_ref, lr_ref, rows_hbm, upd_hbm, tbl_ref, m_ref,
+             v_ref, tbl_out, m_out, v_out, upd_s, gsum_s, sems):
+    _scatter_kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, tbl_out,
+                    upd_s, gsum_s, sems, block_rows=block_rows,
+                    chunk=chunk, mode='adam', eps=eps,
+                    precision=jax.lax.Precision(precision.lower()),
+                    lr_ref=lr_ref, acc_ref=(m_ref, v_ref),
+                    acc_out_ref=(m_out, v_out))
+
+  blk = lambda b, s, l: (b, 0)
+  bspec = pl.BlockSpec((block_rows, d), blk, memory_space=pltpu.VMEM)
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,  # starts + scalars
+          grid=grid,
+          in_specs=[
+              pl.BlockSpec(memory_space=pltpu.VMEM),    # rows (resident)
+              pl.BlockSpec(memory_space=pltpu.ANY),     # updates (HBM)
+              bspec, bspec, bspec,                      # table, m, v
+          ],
+          out_specs=(bspec, bspec, bspec),
+          scratch_shapes=[
+              pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
+              pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=(jax.ShapeDtypeStruct(table.shape, table.dtype),
+                 jax.ShapeDtypeStruct(m.shape, m.dtype),
+                 jax.ShapeDtypeStruct(v.shape, v.dtype)),
+      input_output_aliases={4: 0, 5: 1, 6: 2},
+      interpret=interpret,
+  )(starts, scalars, rows, updates, table, m, v)

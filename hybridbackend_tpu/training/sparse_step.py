@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import optax
 
 from hybridbackend_tpu.embedding.sparse_update import (
-    SparseOptState, init_adagrad_state, sparse_adagrad_apply)
+    SparseOptState, init_adagrad_state, init_adam_state,
+    sparse_adagrad_apply, sparse_adam_apply)
 from hybridbackend_tpu.framework.context import Context
 from hybridbackend_tpu.models.feature import StackedFeatureExtractor
 from hybridbackend_tpu.training.train import replicate_over_mesh
@@ -43,11 +44,15 @@ class SparseTrainState:
   def create(cls, dense_params, tables: Dict[str, jax.Array],
              dense_optimizer: optax.GradientTransformation,
              adagrad_init: float = 0.1,
+             adam: bool = False,
              ctx: Optional[Context] = None) -> 'SparseTrainState':
     ctx = ctx or Context.get()
     dense_params = replicate_over_mesh(dense_params, ctx)
-    table_opt = {name: init_adagrad_state(t, adagrad_init)
-                 for name, t in tables.items()}
+    if adam:
+      table_opt = {name: init_adam_state(t) for name, t in tables.items()}
+    else:
+      table_opt = {name: init_adagrad_state(t, adagrad_init)
+                   for name, t in tables.items()}
     step = jax.device_put(jnp.zeros((), jnp.int32),
                           ctx.replicated_sharding)
     return cls(step=step, dense=dense_params, tables=tables,
@@ -62,6 +67,7 @@ def make_sparse_train_step(
     dense_optimizer: optax.GradientTransformation,
     table_lr: float = 0.05,
     table_dedup: bool = True,
+    table_optimizer: str = 'adagrad',
     ctx: Optional[Context] = None,
     donate_state: bool = True) -> Callable:
   """Build the jitted sparse-update train step.
@@ -71,9 +77,12 @@ def make_sparse_train_step(
     model_loss: ``(dense_params, emb_features, dense_features, batch) ->
       (scalar_loss, aux)`` — the model from combined features onward.
     dense_optimizer: optax transform for the dense tower.
-    table_lr: Adagrad learning rate for all tables.
+    table_lr: learning rate for all tables.
     table_dedup: exact duplicate-id combining before squaring; False
-      uses TF ``SparseApplyAdagrad`` semantics and skips the sort.
+      uses TF ``SparseApplyAdagrad`` semantics and skips the sort
+      (adagrad only).
+    table_optimizer: 'adagrad' (accumulator slot) or 'adam' (LazyAdam,
+      m/v slots — create the state with ``adam=True``).
 
   Returns ``step(state, batch) -> (state, metrics)``.
   """
@@ -98,14 +107,19 @@ def make_sparse_train_step(
                                                 state.dense)
     dense = optax.apply_updates(state.dense, updates)
 
-    # 4. Row-sparse Adagrad per stacked table.
+    # 4. Row-sparse optimizer per stacked table.
     tables = dict(state.tables)
     table_opt = dict(state.table_opt)
     for name, demb in draw.items():
       stack = stacks_by_name[name]
-      tables[name], table_opt[name] = sparse_adagrad_apply(
-          tables[name], table_opt[name], ids_by_stack[name], demb,
-          stack.stacked, table_lr, dedup=table_dedup, ctx=ctx)
+      if table_optimizer == 'adam':
+        tables[name], table_opt[name] = sparse_adam_apply(
+            tables[name], table_opt[name], ids_by_stack[name], demb,
+            stack.stacked, table_lr, step=state.step + 1, ctx=ctx)
+      else:
+        tables[name], table_opt[name] = sparse_adagrad_apply(
+            tables[name], table_opt[name], ids_by_stack[name], demb,
+            stack.stacked, table_lr, dedup=table_dedup, ctx=ctx)
 
     new_state = SparseTrainState(
         step=state.step + 1, dense=dense, tables=tables,

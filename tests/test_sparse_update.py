@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
 from hybridbackend_tpu.embedding.sparse_update import (
@@ -261,3 +262,111 @@ class TestStreamImpl:
     t2, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1,
                                  impl='stream')
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+
+
+class TestSparseAdam:
+  """LazyAdam: moments decay only on touched rows."""
+
+  def _reference(self, table, m, v, ids, demb, lr, step,
+                 b1=0.9, b2=0.999, eps=1e-8):
+    table, m, v = table.copy(), m.copy(), v.copy()
+    bc1 = 1 - b1 ** step
+    bc2 = 1 - b2 ** step
+    for r in np.unique(ids):
+      g = demb[ids == r].sum(0)
+      m[r] = b1 * m[r] + (1 - b1) * g
+      v[r] = b2 * v[r] + (1 - b2) * g * g
+      table[r] -= lr * (m[r] / bc1) / (np.sqrt(v[r] / bc2) + eps)
+    return table, m, v
+
+  @pytest.mark.parametrize('impl', ['xla', 'stream'])
+  @pytest.mark.parametrize('sharded', [True, False])
+  def test_matches_reference(self, impl, sharded):
+    from hybridbackend_tpu.embedding.sparse_update import (
+        init_adam_state, sparse_adam_apply)
+    cfg = TableConfig('t', VOCAB, DIM, sharded=sharded)
+    table = create_table(cfg, jax.random.PRNGKey(0))
+    state = init_adam_state(table)
+    rng = np.random.RandomState(13)
+    ids = rng.randint(0, VOCAB, BATCH)
+    demb = rng.randn(BATCH, DIM).astype(np.float32)
+    got_t, got_s = sparse_adam_apply(
+        table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+        cfg, lr=0.01, step=1, impl=impl)
+    want_t, want_m, want_v = self._reference(
+        np.asarray(table), np.zeros((VOCAB, DIM), np.float32),
+        np.zeros((VOCAB, DIM), np.float32), ids, demb, 0.01, 1)
+    np.testing.assert_allclose(np.asarray(got_t), want_t,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s.acc[0]), want_m,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s.acc[1]), want_v,
+                               rtol=1e-3, atol=1e-5)
+
+  def test_untouched_moments_do_not_decay(self):
+    from hybridbackend_tpu.embedding.sparse_update import (
+        SparseOptState, sparse_adam_apply)
+    cfg = TableConfig('t', VOCAB, DIM, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(1))
+    m0 = jnp.ones((VOCAB, DIM))
+    state = SparseOptState(acc=(m0, m0))
+    ids = jnp.asarray([3] * BATCH, jnp.int32)
+    demb = jnp.ones((BATCH, DIM))
+    for impl in ('xla', 'stream'):
+      _, s = sparse_adam_apply(table, state, ids, demb, cfg,
+                               lr=0.01, step=5, impl=impl)
+      m = np.asarray(s.acc[0])
+      assert (m[np.arange(VOCAB) != 3] == 1.0).all(), impl  # no decay
+      assert not np.allclose(m[3], 1.0), impl
+
+  def test_column_sharded(self):
+    from hybridbackend_tpu.embedding.sparse_update import (
+        init_adam_state, sparse_adam_apply)
+    cfg = TableConfig('t', VOCAB, 32, partition='column', sharded=True)
+    table = create_table(cfg, jax.random.PRNGKey(2))
+    state = init_adam_state(table)
+    rng = np.random.RandomState(14)
+    ids = rng.randint(0, VOCAB, BATCH)
+    demb = rng.randn(BATCH, 32).astype(np.float32)
+    got_t, _ = sparse_adam_apply(
+        table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+        cfg, lr=0.01, step=1, impl='xla')
+    want_t, _, _ = self._reference(
+        np.asarray(table), np.zeros((VOCAB, 32), np.float32),
+        np.zeros((VOCAB, 32), np.float32), ids, demb, 0.01, 1)
+    np.testing.assert_allclose(np.asarray(got_t), want_t,
+                               rtol=1e-3, atol=1e-5)
+
+  def test_sparse_train_step_with_adam(self):
+    from hybridbackend_tpu.models import (EmbeddingSpec,
+                                          StackedFeatureExtractor,
+                                          stacked_dcn_v2_apply,
+                                          stacked_dcn_v2_init)
+    from hybridbackend_tpu.training.sparse_step import (
+        SparseTrainState, make_sparse_train_step)
+    specs = [EmbeddingSpec(TableConfig('c0', 256, DIM))]
+    fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+    kt, kn = jax.random.split(jax.random.PRNGKey(0))
+    tables = fx.init(kt)
+    dense = stacked_dcn_v2_init(kn, [DIM, 1], [16, 1])
+
+    def model_loss(dp, emb_f, dense_f, batch):
+      p = jnp.clip(stacked_dcn_v2_apply(dp, emb_f + dense_f),
+                   1e-6, 1 - 1e-6)
+      y = batch['label']
+      return -jnp.mean(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)), {}
+
+    opt = optax.adam(3e-3)
+    state = SparseTrainState.create(dense, tables, opt, adam=True)
+    step = make_sparse_train_step(fx, model_loss, opt, table_lr=0.01,
+                                  table_optimizer='adam')
+    rng = np.random.RandomState(0)
+    c0 = rng.randint(0, 256, 64)
+    batch = {'c0': jnp.asarray(c0, jnp.int32),
+             'd0': jnp.asarray(rng.rand(64), jnp.float32),
+             'label': jnp.asarray((c0 % 3 == 0).astype(np.float32))}
+    losses = []
+    for _ in range(80):
+      state, metrics = step(state, batch)
+      losses.append(float(metrics['loss']))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
