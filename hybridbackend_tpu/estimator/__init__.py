@@ -236,6 +236,7 @@ class SparseTrainer(Trainer):
                dense_optimizer: Optional[optax.GradientTransformation] = None,
                table_lr: float = 0.05,
                adagrad_init: float = 0.1,
+               table_optimizer: str = 'adagrad',
                model_dir: Optional[str] = None,
                ctx: Optional[Context] = None,
                label_key: str = 'label',
@@ -251,12 +252,12 @@ class SparseTrainer(Trainer):
       dense_optimizer = optax.adam(1e-3)
     if tables is None:
       tables = fx.init(rng if rng is not None else jax.random.PRNGKey(0))
-    self.state = SparseTrainState.create(dense_params, tables,
-                                         dense_optimizer, adagrad_init,
-                                         self._ctx)
-    self._step_fn = make_sparse_train_step(fx, model_loss,
-                                           dense_optimizer, table_lr,
-                                           self._ctx)
+    self.state = SparseTrainState.create(
+        dense_params, tables, dense_optimizer, adagrad_init, self._ctx,
+        adam=(table_optimizer == 'adam'))
+    self._step_fn = make_sparse_train_step(
+        fx, model_loss, dense_optimizer, table_lr, self._ctx,
+        table_optimizer=table_optimizer)
 
     def eval_fn(params, batch):
       dense, tables = params

@@ -44,8 +44,8 @@ class SparseTrainState:
   def create(cls, dense_params, tables: Dict[str, jax.Array],
              dense_optimizer: optax.GradientTransformation,
              adagrad_init: float = 0.1,
-             adam: bool = False,
-             ctx: Optional[Context] = None) -> 'SparseTrainState':
+             ctx: Optional[Context] = None, *,
+             adam: bool = False) -> 'SparseTrainState':
     ctx = ctx or Context.get()
     dense_params = replicate_over_mesh(dense_params, ctx)
     if adam:
@@ -66,9 +66,9 @@ def make_sparse_train_step(
     model_loss: Callable[[Any, list, list, Dict], Tuple[jax.Array, Dict]],
     dense_optimizer: optax.GradientTransformation,
     table_lr: float = 0.05,
+    ctx: Optional[Context] = None, *,
     table_dedup: bool = True,
     table_optimizer: str = 'adagrad',
-    ctx: Optional[Context] = None,
     donate_state: bool = True) -> Callable:
   """Build the jitted sparse-update train step.
 
