@@ -84,3 +84,6 @@ def make_pipelined_train_step(loss_fn: Callable, optimizer,
 
 
 __all__ = ['accumulate_gradients', 'make_pipelined_train_step']
+
+from hybridbackend_tpu.pipeline.interleave import make_interleaved_train_step  # noqa: E402,F401
+__all__.append('make_interleaved_train_step')

@@ -1,0 +1,136 @@
+"""Interleaved sparse/dense execution (PICASSO packing+interleaving).
+
+The PICASSO paper's second pillar (reference README.md:66-79; the
+reference realizes it with graph passes + separate CUDA streams):
+overlap the embedding EXCHANGE of one micro-batch with the dense
+COMPUTE of the previous one. On TPU the same overlap falls out of
+dataflow: inside one jitted ``lax.scan`` step, micro-batch ``i+1``'s
+lookup (all_gather/all_to_all + gather — interconnect + HBM work) has
+no data dependency on micro-batch ``i``'s tower (MXU work), so XLA's
+latency-hiding scheduler runs them concurrently.
+
+Semantics are EXACT accumulate-then-apply: every micro-batch looks up
+the same table version; dense gradients average across micro-batches;
+per-id embedding gradients concatenate into ONE row-sparse table update
+at the end (one kernel pass for the whole step).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.models.feature import StackedFeatureExtractor
+from hybridbackend_tpu.training.sparse_step import SparseTrainState
+
+
+def make_interleaved_train_step(
+    fx: StackedFeatureExtractor,
+    model_loss: Callable[[Any, list, list, Dict], Tuple[jax.Array, Dict]],
+    dense_optimizer: optax.GradientTransformation,
+    num_microbatches: int,
+    table_lr: float = 0.05,
+    ctx: Optional[Context] = None, *,
+    table_optimizer: str = 'adagrad',
+    donate_state: bool = True) -> Callable:
+  """Pipelined variant of ``make_sparse_train_step``.
+
+  The global batch splits into ``num_microbatches`` slices; slice
+  ``i+1``'s fused lookup is issued in the same scan iteration as slice
+  ``i``'s forward/backward, letting XLA overlap the exchange with the
+  tower. Requires every batch column's leading dim to divide by
+  ``num_microbatches``.
+  """
+  ctx = ctx or Context.get()
+  stacks_by_name = {s.stacked.name: s for s in fx.stacks}
+  from hybridbackend_tpu.embedding.sparse_update import (
+      sparse_adagrad_apply, sparse_adam_apply)
+
+  def step(state: SparseTrainState, batch):
+    k = num_microbatches
+
+    def mb(tree, i):
+      def slice_one(x):
+        m = x.shape[0] // k
+        return jax.lax.dynamic_slice_in_dim(x, i * m, m, axis=0)
+      return jax.tree_util.tree_map(slice_one, tree)
+
+    def lookup_mb(i):
+      raw, ids, layouts = fx.lookup_raw(state.tables, mb(batch, i))
+      raw = jax.tree_util.tree_map(jax.lax.stop_gradient, raw)
+      return raw, ids, layouts
+
+    def tower_grad(dense, raw, layouts, batch_i):
+      def loss_from(dense, raw_embs):
+        emb_f, dense_f = fx.combine_from_raw(raw_embs, layouts, batch_i)
+        return model_loss(dense, emb_f, dense_f, batch_i)
+      return jax.value_and_grad(loss_from, argnums=(0, 1),
+                                has_aux=True)(dense, raw)
+
+    # Software pipeline: carry micro-batch i's embeddings; issue i+1's
+    # lookup in the same iteration as i's tower (independent subgraphs
+    # → XLA overlaps the exchange with the matmuls).
+    raw0, ids0, layouts = lookup_mb(0)
+    zero_dense = jax.tree_util.tree_map(jnp.zeros_like, state.dense)
+
+    def body(carry, i):
+      raw_i, loss_acc, dgrad_acc = carry
+      nxt = jnp.minimum(i + 1, k - 1)
+      raw_next, _, _ = lookup_mb(nxt)          # overlaps tower below
+      (loss, _aux), (dgrads, draw) = tower_grad(
+          state.dense, raw_i, layouts, mb(batch, i))
+      dgrad_acc = jax.tree_util.tree_map(jnp.add, dgrad_acc, dgrads)
+      return (raw_next, loss_acc + loss, dgrad_acc), draw
+
+    (_, loss_sum, dgrads), draws = jax.lax.scan(
+        body, (raw0, jnp.zeros(()), zero_dense), jnp.arange(k))
+    scale = 1.0 / k
+    dgrads = jax.tree_util.tree_map(lambda g: g * scale, dgrads)
+    loss = loss_sum * scale
+
+    # Dense update.
+    updates, dense_opt = dense_optimizer.update(dgrads, state.dense_opt,
+                                                state.dense)
+    dense = optax.apply_updates(state.dense, updates)
+
+    # One sparse table update per stack for the WHOLE step: per-mb ids
+    # and embedding grads concatenate along the batch axis. Gradients
+    # are averaged (the dense path divides by k; per-id grads must too).
+    from hybridbackend_tpu.embedding.stack import pack_ids
+    tables = dict(state.tables)
+    table_opt = dict(state.table_opt)
+    # Re-pack the per-mb ids (pure reshaping — no exchange).
+    all_ids = {}
+    for i in range(k):
+      member = fx.member_ids(mb(batch, i))
+      for stack in fx.stacks:
+        name = stack.stacked.name
+        if name in member:
+          ids_i, _ = pack_ids(stack, member[name])
+          all_ids.setdefault(name, []).append(ids_i)
+    for name, demb_k in draws.items():
+      stack = stacks_by_name[name]
+      ids = jnp.concatenate(all_ids[name], axis=0)           # [B, K]
+      demb = (demb_k * scale).reshape(-1, *demb_k.shape[2:])  # [B, K, D]
+      if table_optimizer == 'adam':
+        tables[name], table_opt[name] = sparse_adam_apply(
+            tables[name], table_opt[name], ids, demb, stack.stacked,
+            table_lr, step=state.step + 1, ctx=ctx)
+      else:
+        tables[name], table_opt[name] = sparse_adagrad_apply(
+            tables[name], table_opt[name], ids, demb, stack.stacked,
+            table_lr, ctx=ctx)
+
+    new_state = SparseTrainState(
+        step=state.step + 1, dense=dense, tables=tables,
+        table_opt=table_opt, dense_opt=dense_opt)
+    return new_state, {'loss': loss}
+
+  return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+
+
+__all__ = ['make_interleaved_train_step']

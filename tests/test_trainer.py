@@ -208,3 +208,49 @@ class TestSparseTrainer:
       assert t2.global_step == t.global_step
       res2 = t2.evaluate(batches(10, seed=22))
       assert abs(res2['auc'] - res['auc']) < 1e-6
+
+
+def test_interleaved_step_matches_sparse_step():
+  """PICASSO interleaving must be numerically exact vs the plain sparse
+  step (accumulate-then-apply over the same table version)."""
+  from hybridbackend_tpu.models import StackedFeatureExtractor
+  from hybridbackend_tpu.pipeline.interleave import (
+      make_interleaved_train_step)
+  from hybridbackend_tpu.training.sparse_step import (
+      SparseTrainState, make_sparse_train_step)
+  import optax
+
+  fx = StackedFeatureExtractor(SPECS, dense_columns=['dense0'])
+
+  def model_loss(dense_params, emb_f, dense_f, batch):
+    preds = jnp.clip(stacked_dcn_v2_apply(dense_params, emb_f + dense_f),
+                     1e-6, 1 - 1e-6)
+    y = batch['label']
+    return -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds)), {}
+
+  kt, kn = jax.random.split(jax.random.PRNGKey(0))
+  opt = optax.sgd(1e-2)
+
+  def fresh():
+    return SparseTrainState.create(
+        stacked_dcn_v2_init(kn, [DIM, 1], [16, 1]), fx.init(kt), opt)
+
+  b = next(batches(1, seed=30))
+  plain = make_sparse_train_step(fx, model_loss, opt, table_lr=0.1,
+                                 donate_state=False)
+  inter = make_interleaved_train_step(fx, model_loss, opt,
+                                      num_microbatches=4, table_lr=0.1,
+                                      donate_state=False)
+  s1, m1 = plain(fresh(), b)
+  s2, m2 = inter(fresh(), b)
+  np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                             rtol=1e-5)
+  for name in s1.tables:
+    np.testing.assert_allclose(np.asarray(s1.tables[name]),
+                               np.asarray(s2.tables[name]),
+                               rtol=1e-4, atol=1e-6)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                              np.asarray(b),
+                                              rtol=1e-4, atol=1e-6),
+      s1.dense, s2.dense)
