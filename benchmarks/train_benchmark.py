@@ -50,6 +50,9 @@ def main():
   p.add_argument('--no-dedup', action='store_true',
                  help='sparse mode: skip duplicate-id combining '
                       '(TF SparseApplyAdagrad semantics, no sort)')
+  p.add_argument('--interleave', type=int, default=0, metavar='K',
+                 help='sparse mode: PICASSO interleaving over K '
+                      'micro-batches')
   p.add_argument('--cpu', type=int, default=0)
   p.add_argument('--json', action='store_true')
   args = p.parse_args()
@@ -109,10 +112,16 @@ def main():
 
     state = SparseTrainState.create(net, tables, optax.adam(1e-3),
                                     adagrad_init=0.1, ctx=ctx)
-    step = make_sparse_train_step(fx, model_loss, optax.adam(1e-3),
-                                  table_lr=0.05,
-                                  table_dedup=not args.no_dedup, ctx=ctx,
-                                  donate_state=False)
+    if args.interleave > 1:
+      from hybridbackend_tpu.pipeline import make_interleaved_train_step
+      step = make_interleaved_train_step(
+          fx, model_loss, optax.adam(1e-3), args.interleave,
+          table_lr=0.05, ctx=ctx, donate_state=False)
+    else:
+      step = make_sparse_train_step(fx, model_loss, optax.adam(1e-3),
+                                    table_lr=0.05,
+                                    table_dedup=not args.no_dedup,
+                                    ctx=ctx, donate_state=False)
   else:
     tables = init_tables(specs, k_tab, ctx)
     params = {'tables': tables, 'net': net}
@@ -175,6 +184,7 @@ def main():
       'ms_per_step': round(ms_per_step, 3),
       'model': args.model,
       'sparse': args.sparse,
+      'interleave': args.interleave,
       'bf16': args.bf16,
       'batch': args.batch,
       'tables': args.tables,
