@@ -54,6 +54,27 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   ``ids``. The leading flat size must divide evenly by the world size.
   """
   ctx = ctx or Context.get()
+
+  # Dedup before the exchange (reference: tf.unique ahead of the local
+  # gather, sharding.py:186-189): with ``emb_unique_ratio < 1`` the
+  # exchange carries at most ratio·n unique ids — exact whenever the
+  # true unique count fits the capacity, a direct payload shrink for
+  # high-duplicate workloads (DIN behavior sequences). Runs on raw ids
+  # (before row mixing, which is bijective) so the recursion maps rows
+  # exactly once.
+  ratio = float(OPTIONS['emb_unique_ratio'])
+  if ratio < 1.0 and config.should_shard(ctx):
+    from hybridbackend_tpu.embedding.unique import unique as _unique
+    flat_ids = ids.reshape(-1)
+    cap = max(ctx.world_size,
+              (int(round(flat_ids.shape[0] * ratio)) // ctx.world_size)
+              * ctx.world_size)
+    u = _unique(flat_ids, capacity=cap, fill_value=0)
+    with OPTIONS.override(emb_unique_ratio=1.0):
+      emb_u = lookup(table, u.values, config, ctx=ctx, strategy=strategy)
+    out = jnp.take(emb_u, u.index, axis=0)
+    return out.reshape(*ids.shape, config.dim)
+
   rows = config.row_index(ids, ctx)
   if not config.should_shard(ctx):
     return jnp.take(table, rows, axis=0)

@@ -175,3 +175,32 @@ def test_wire_compression_lookup():
       comp = np.asarray(lookup(tbl, ids, cfg, ctx=ctx, strategy=strategy))
     assert not np.array_equal(comp, full) or np.allclose(comp, full)
     np.testing.assert_allclose(comp, full, rtol=1e-2, atol=1e-2)
+
+
+def test_unique_ratio_dedup_before_exchange():
+  """emb_unique_ratio < 1 dedups ids ahead of the exchange; results and
+  grads stay exact while the true unique count fits the capacity."""
+  import hybridbackend_tpu as hb
+  from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
+  ctx = hb.Context.get()
+  cfg = TableConfig('u', 512, 8)
+  tbl = create_table(cfg, jax.random.PRNGKey(0), ctx)
+  host = np.asarray(tbl)
+  rng = np.random.RandomState(0)
+  ids = rng.randint(0, 24, 128).astype(np.int32)  # <=24 uniques of 128
+  for strategy in ('allgather', 'alltoall'):
+    full = np.asarray(lookup(tbl, jnp.asarray(ids), cfg, ctx=ctx,
+                             strategy=strategy))
+    with hb.scope(emb_unique_ratio=0.25):   # capacity 32 >= 24 uniques
+      dd = np.asarray(lookup(tbl, jnp.asarray(ids), cfg, ctx=ctx,
+                             strategy=strategy))
+    np.testing.assert_allclose(dd, full, atol=1e-5)
+    np.testing.assert_allclose(dd, host[ids], atol=1e-5)
+
+  # gradients: nonzero exactly on the touched rows
+  def loss(t):
+    with hb.scope(emb_unique_ratio=0.25):
+      return lookup(t, jnp.asarray(ids), cfg, ctx=ctx,
+                    strategy='allgather').sum()
+  g = np.asarray(jax.grad(loss)(tbl))
+  assert set(np.nonzero(np.abs(g).sum(-1))[0].tolist()) == set(ids.tolist())
