@@ -282,6 +282,23 @@ class ParquetDataset:
           exc_info=True)
       return None
 
+  # -- tf.data-style combinators (reference datasets are tf.data;
+  #    adoption parity for map/repeat/take/prefetch chains) -----------
+  def map(self, fn):
+    """Apply ``fn(batch) -> batch`` to every batch lazily."""
+    return _map(self, fn)
+
+  def repeat(self, n: Optional[int] = None):
+    """Repeat the dataset ``n`` times (None = forever)."""
+    return _repeat(self, n)
+
+  def take(self, n: int):
+    return _take(self, n)
+
+  def prefetch(self, **kwargs):
+    """Chain a background host→device ``DeviceIterator``."""
+    return _prefetch(self, **kwargs)
+
   def __iter__(self) -> Iterator[Batch]:
     it = self._native_iter()
     if it is not None:
@@ -292,6 +309,52 @@ class ParquetDataset:
                    shuffle=self._shuffle,
                    shuffle_buffer=self._shuffle_buffer,
                    seed=self._seed)
+
+
+class _TransformedDataset:
+  """Lazily transformed view of a dataset (tf.data-style combinators)."""
+
+  def __init__(self, source, fn):
+    self._source = source
+    self._fn = fn
+
+  def __iter__(self):
+    return self._fn(self._source)
+
+  # combinators chain on any dataset-like object
+  map = lambda self, fn: _map(self, fn)
+  repeat = lambda self, n=None: _repeat(self, n)
+  take = lambda self, n: _take(self, n)
+  prefetch = lambda self, **kw: _prefetch(self, **kw)
+
+
+def _map(ds, fn):
+  def gen(src):
+    return (fn(b) for b in src)
+  return _TransformedDataset(ds, gen)
+
+
+def _repeat(ds, n=None):
+  def gen(src):
+    import itertools
+    count = itertools.count() if n is None else range(n)
+    for _ in count:
+      yield from iter(src)
+  return _TransformedDataset(ds, gen)
+
+
+def _take(ds, n):
+  def gen(src):
+    import itertools
+    return itertools.islice(iter(src), n)
+  return _TransformedDataset(ds, gen)
+
+
+def _prefetch(ds, **kw):
+  def gen(src):
+    from hybridbackend_tpu.data.prefetch import DeviceIterator
+    return DeviceIterator(iter(src), **kw)
+  return _TransformedDataset(ds, gen)
 
 
 class Dataset:

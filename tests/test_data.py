@@ -316,3 +316,22 @@ class TestORC:
     np.testing.assert_array_equal(
         np.concatenate([b['a'] for b in got]),
         tbl.column('a').to_numpy())
+
+
+def test_dataset_combinators(tmp_path):
+  """tf.data-style map/repeat/take/prefetch chains (adoption parity)."""
+  import pandas as pd
+  import hybridbackend_tpu as hb
+  p = str(tmp_path / 'c.parquet')
+  pd.DataFrame({'a': np.arange(100, dtype=np.int64)}).to_parquet(p)
+  ds = hb.data.ParquetDataset(p, batch_size=20, drop_remainder=True)
+  out = list(ds.map(lambda b: {'a2': np.asarray(b['a']) * 2})
+               .repeat(2).take(8))
+  assert len(out) == 8
+  assert np.array_equal(np.asarray(out[0]['a2']), np.arange(20) * 2)
+  assert np.array_equal(np.asarray(out[5]['a2']), np.arange(20) * 2)
+  # prefetch chains to a DeviceIterator yielding jax arrays
+  dev = list(ds.take(2).prefetch())
+  assert len(dev) == 2
+  import jax
+  assert isinstance(dev[0]['a'], jax.Array)
