@@ -324,12 +324,12 @@ def test_dataset_combinators(tmp_path):
   import hybridbackend_tpu as hb
   p = str(tmp_path / 'c.parquet')
   pd.DataFrame({'a': np.arange(100, dtype=np.int64)}).to_parquet(p)
-  ds = hb.data.ParquetDataset(p, batch_size=20, drop_remainder=True)
+  ds = hb.data.ParquetDataset(p, batch_size=16, drop_remainder=True)
   out = list(ds.map(lambda b: {'a2': np.asarray(b['a']) * 2})
                .repeat(2).take(8))
   assert len(out) == 8
-  assert np.array_equal(np.asarray(out[0]['a2']), np.arange(20) * 2)
-  assert np.array_equal(np.asarray(out[5]['a2']), np.arange(20) * 2)
+  assert np.array_equal(np.asarray(out[0]['a2']), np.arange(16) * 2)
+  assert np.array_equal(np.asarray(out[6]['a2']), np.arange(16) * 2)
   # prefetch chains to a DeviceIterator yielding jax arrays
   dev = list(ds.take(2).prefetch())
   assert len(dev) == 2
