@@ -64,3 +64,70 @@ def test_failing_child_kills_peers(tmp_path):
       env=env, capture_output=True, text=True, timeout=120,
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   assert out.returncode == 3, (out.returncode, out.stderr[-500:])
+
+
+SPARSE_TRAIN_SCRIPT = """
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import hybridbackend_tpu as hb
+from hybridbackend_tpu.embedding import TableConfig
+from hybridbackend_tpu.models import (EmbeddingSpec, StackedFeatureExtractor,
+                                      stacked_dcn_v2_apply,
+                                      stacked_dcn_v2_init)
+from hybridbackend_tpu.training import (SparseTrainState,
+                                        make_sparse_train_step)
+
+ctx = hb.Context.get()
+assert jax.process_count() == 2
+assert ctx.world_size == 4
+specs = [EmbeddingSpec(TableConfig('c0', 256, 8))]
+fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+kt, kn = jax.random.split(jax.random.PRNGKey(0))
+tables = fx.init(kt)
+# The stacked table must span all 4 devices across both processes.
+assert len(tables[fx.stacks[0].stacked.name].sharding.device_set) == 4
+
+def model_loss(dense, emb_f, dense_f, batch):
+    p = jnp.clip(stacked_dcn_v2_apply(dense, emb_f + dense_f), 1e-6, 1-1e-6)
+    y = batch['label']
+    return -jnp.mean(y*jnp.log(p) + (1-y)*jnp.log(1-p)), {}
+
+state = SparseTrainState.create(
+    stacked_dcn_v2_init(kn, [8, 1], [16, 1]), tables, optax.adam(3e-3))
+step = make_sparse_train_step(fx, model_loss, optax.adam(3e-3),
+                              table_lr=0.1)
+rng = np.random.RandomState(jax.process_index())
+losses = []
+for i in range(40):
+    # per-process local shard of the global batch
+    c0 = rng.randint(0, 256, 32)
+    local = {'c0': np.asarray(c0, np.int32),
+             'd0': rng.rand(32).astype(np.float32),
+             'label': (c0 % 3 == 0).astype(np.float32)}
+    batch = {k: jax.make_array_from_process_local_data(
+                 ctx.batch_sharding, v) for k, v in local.items()}
+    state, m = step(state, batch)
+    losses.append(float(m['loss']))
+assert losses[-1] < losses[0], (losses[0], losses[-1])
+print('CHILD_TRAIN_OK rank', jax.process_index(),
+      round(losses[0], 4), '->', round(losses[-1], 4))
+"""
+
+
+@pytest.mark.timeout(600)
+def test_multiprocess_sparse_training(tmp_path):
+  """Cross-process hybrid-parallel training: sharded tables span both
+  processes; lookups and updates exchange over jax.distributed."""
+  script = tmp_path / 'train2p.py'
+  script.write_text(SPARSE_TRAIN_SCRIPT)
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)
+  out = subprocess.run(
+      [sys.executable, '-m', 'hybridbackend_tpu.run',
+       '--simulate', '2', '--devices-per-process', '2', str(script)],
+      env=env, capture_output=True, text=True, timeout=580,
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+  assert out.stdout.count('CHILD_TRAIN_OK') == 2, out.stdout
