@@ -112,8 +112,10 @@ def main():
 
     state = SparseTrainState.create(net, tables, optax.adam(1e-3),
                                     adagrad_init=0.1, ctx=ctx)
-    if args.interleave > 1:
+    if args.interleave >= 1:
       from hybridbackend_tpu.pipeline import make_interleaved_train_step
+      if args.no_dedup:
+        raise SystemExit('--no-dedup is not supported with --interleave')
       step = make_interleaved_train_step(
           fx, model_loss, optax.adam(1e-3), args.interleave,
           table_lr=0.05, ctx=ctx, donate_state=False)

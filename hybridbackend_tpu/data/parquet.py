@@ -345,8 +345,17 @@ def _repeat(ds, n=None):
 
 def _take(ds, n):
   def gen(src):
-    import itertools
-    return itertools.islice(iter(src), n)
+    it = iter(src)
+    try:
+      for _ in range(n):
+        try:
+          yield next(it)
+        except StopIteration:
+          return
+    finally:
+      close = getattr(it, 'close', None)
+      if close is not None:
+        close()
   return _TransformedDataset(ds, gen)
 
 

@@ -113,5 +113,13 @@ class DeviceIterator:
     except _queue.Empty:
       pass
 
+  def __del__(self):
+    # Abandoned iterators (early break, islice) must not leave a
+    # spinning producer pinning device batches.
+    try:
+      self.close()
+    except Exception:
+      pass
+
 
 __all__ = ['DeviceIterator']

@@ -126,8 +126,11 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
       b2 = lr_ref[2]
       bc1 = lr_ref[3]   # 1 - b1**t (bias correction, computed outside)
       bc2 = lr_ref[4]
-      touched = (jnp.abs(gsum).max(axis=1, keepdims=True) > 0).astype(
-          gsum.dtype)
+      # Presence rides the one-hot matmul: the wrapper sets lane ``d``
+      # of every update row to 1, so gsum's lane d is the occurrence
+      # count — rows present with an exactly-zero gradient total still
+      # count as touched (TF LazyAdam updates every indexed row).
+      touched = (gsum_s[...][:, d:d + 1] > 0).astype(gsum.dtype)
       m_ref, v_ref = acc_ref
       m_out, v_out = acc_out_ref
       m = jnp.where(touched > 0, b1 * m_ref[...] + (1 - b1) * gsum,
@@ -343,8 +346,14 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
     block_ids = rows
   block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
                              jnp.zeros((block_ids.shape[0], 1)), chunk)
-  rows, updates = pad_updates(rows.astype(jnp.int32),
-                              updates.astype(table.dtype), chunk)
+  updates = updates.astype(table.dtype)
+  if d % 128 == 0:
+    # No spare lane for the presence count: add a lane group.
+    updates = jnp.pad(updates, ((0, 0), (0, 1)))
+  rows, updates = pad_updates(rows.astype(jnp.int32), updates, chunk)
+  # Lane d carries presence: gsum lane d becomes the occurrence count
+  # (sentinel/invalid rows never match a block, so they don't count).
+  updates = updates.at[:, d].set(1.0)
   starts = _block_starts(block_ids, table.shape[0], block_rows)
   rows = rows.reshape(-1, chunk)
   grid = (pl.cdiv(table.shape[0], block_rows),)
@@ -366,6 +375,7 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                     lr_ref=lr_ref, acc_ref=(m_ref, v_ref),
                     acc_out_ref=(m_out, v_out))
 
+  upd_w = updates.shape[1]
   blk = lambda b, s, l: (b, 0)
   bspec = pl.BlockSpec((block_rows, d), blk, memory_space=pltpu.VMEM)
   return pl.pallas_call(
@@ -380,8 +390,8 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
           ],
           out_specs=(bspec, bspec, bspec),
           scratch_shapes=[
-              pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
-              pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+              pltpu.VMEM((chunk, upd_w), table.dtype),
+              pltpu.VMEM((block_rows, upd_w), jnp.float32),
               pltpu.SemaphoreType.DMA((2,)),
           ],
       ),

@@ -87,6 +87,9 @@ def make_sparse_train_step(
   Returns ``step(state, batch) -> (state, metrics)``.
   """
   ctx = ctx or Context.get()
+  if table_optimizer not in ('adagrad', 'adam'):
+    raise ValueError(f'Unknown table_optimizer {table_optimizer!r}; '
+                     "expected 'adagrad' or 'adam'")
   stacks_by_name = {s.stacked.name: s for s in fx.stacks}
 
   def step(state: SparseTrainState, batch):

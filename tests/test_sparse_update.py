@@ -370,3 +370,27 @@ class TestSparseAdam:
       state, metrics = step(state, batch)
       losses.append(float(metrics['loss']))
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+  def test_adam_zero_total_rows_still_decay(self):
+    """An id present with an exactly-zero gradient total must update
+    moments in BOTH impls (TF LazyAdam updates every indexed row)."""
+    from hybridbackend_tpu.embedding.sparse_update import (
+        SparseOptState, sparse_adam_apply)
+    cfg = TableConfig('t', VOCAB, DIM, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(4))
+    m0 = jnp.ones((VOCAB, DIM))
+    state = SparseOptState(acc=(m0, m0))
+    # id 7 appears twice with cancelling grads → zero total
+    ids = jnp.asarray([7, 7] + [3] * (BATCH - 2), jnp.int32)
+    g = np.zeros((BATCH, DIM), np.float32)
+    g[0] = 1.0
+    g[1] = -1.0
+    g[2:] = 0.5
+    for impl in ('xla', 'stream'):
+      _, s = sparse_adam_apply(table, state, ids, jnp.asarray(g), cfg,
+                               lr=0.01, step=3, impl=impl)
+      m = np.asarray(s.acc[0])
+      np.testing.assert_allclose(m[7], 0.9, rtol=1e-5,
+                                 err_msg=impl)  # decayed, zero grad
+      assert (m[np.arange(VOCAB)[(np.arange(VOCAB) != 7)
+                                 & (np.arange(VOCAB) != 3)]] == 1.0).all()
