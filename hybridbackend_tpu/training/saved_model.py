@@ -31,20 +31,29 @@ def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
       Context, build_mesh, context_scope)
 
   os.makedirs(path, exist_ok=True)
+  # Flatten params for the serialized signature: checkpoint formats do
+  # not preserve tuple-vs-list pytree nodes, so the exported function
+  # takes the flat leaf list and rebuilds the structure internally.
+  host_params = jax.tree_util.tree_map(np.asarray, params)
+  leaves, treedef = jax.tree_util.tree_flatten(host_params)
+
+  def flat_fn(leaf_list, batch):
+    return serving_fn(jax.tree_util.tree_unflatten(treedef, leaf_list),
+                      batch)
+
   # Serving is single-device: trace under a 1-device context so sharded
   # lookup paths degrade to local gathers (reference parity: rank0 builds
   # the serving graph from the merged checkpoint, ``saved_model.py:54``).
   one_dev = Context(build_mesh(devices=[jax.devices()[0]]))
   with context_scope(one_dev):
-    exported = jax_export.export(jax.jit(serving_fn))(
-        jax.tree_util.tree_map(np.asarray, params),
-        {k: np.asarray(v) for k, v in example_batch.items()})
+    exported = jax_export.export(jax.jit(flat_fn))(
+        leaves, {k: np.asarray(v) for k, v in example_batch.items()})
   with open(os.path.join(path, 'serving_fn.bin'), 'wb') as f:
     f.write(exported.serialize())
 
   ckptr = ocp.StandardCheckpointer()
   ckptr.save(os.path.join(os.path.abspath(path), 'params', 'state'),
-             jax.tree_util.tree_map(np.asarray, params))
+             leaves)
   ckptr.wait_until_finished()
 
   signature = {
@@ -58,7 +67,8 @@ def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
 
 
 def load(path: str):
-  """Load an exported model: returns ``(call(params, batch), params)``."""
+  """Load an exported model: returns ``(call(params, batch), params)``
+  where ``params`` is the flat leaf list the export serialized."""
   from jax import export as jax_export
   import orbax.checkpoint as ocp
 

@@ -254,3 +254,32 @@ def test_interleaved_step_matches_sparse_step():
                                               np.asarray(b),
                                               rtol=1e-4, atol=1e-6),
       s1.dense, s2.dense)
+
+
+def test_sparse_trainer_export_load_roundtrip():
+  from hybridbackend_tpu.models import StackedFeatureExtractor
+  from hybridbackend_tpu.training.saved_model import load
+  import tempfile, os
+
+  fx = StackedFeatureExtractor(SPECS, dense_columns=['dense0'])
+
+  def model_loss(dense_params, emb_f, dense_f, batch):
+    preds = jnp.clip(stacked_dcn_v2_apply(dense_params, emb_f + dense_f),
+                     1e-6, 1 - 1e-6)
+    y = batch['label']
+    return -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds)), \
+        {'preds': preds}
+
+  dense = stacked_dcn_v2_init(jax.random.PRNGKey(1), [DIM, 1], [16, 1])
+  t = hb.estimator.SparseTrainer(fx, model_loss, dense, table_lr=0.2)
+  t.train(batches(5, seed=40), sync=False)
+  b = next(batches(1, seed=41))
+  b_host = {k: np.asarray(v) for k, v in b.items()}
+  with tempfile.TemporaryDirectory() as d:
+    path = t.export_saved_model(os.path.join(d, 'sm'), b_host)
+    call, params = load(path)
+    preds = np.asarray(call(params, b_host))
+    # parity with in-process eval
+    _, aux = t._eval_fn(t.params, b)
+    np.testing.assert_allclose(preds, np.asarray(aux['preds']),
+                               rtol=1e-4, atol=1e-5)
