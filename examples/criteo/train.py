@@ -136,31 +136,28 @@ def main():
       loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
       return loss, {'preds': preds}
 
-    state = SparseTrainState.create(params['net'], params['tables'],
-                                    optax.adam(args.lr_dense),
-                                    adagrad_init=0.1)
-    sstep = make_sparse_train_step(fx, model_loss,
-                                   optax.adam(args.lr_dense),
-                                   table_lr=args.lr_tables)
-    import hybridbackend_tpu.metrics as hbm
-    from hybridbackend_tpu.data import DeviceIterator, SyncReplicasIterator
     ctx0 = hb.Context.get()
-    for epoch in range(args.epochs):
+    strainer = hb.estimator.SparseTrainer(
+        fx, model_loss, params['net'], tables=params['tables'],
+        dense_optimizer=optax.adam(args.lr_dense),
+        table_lr=args.lr_tables,
+        model_dir=args.model_dir or None)
+
+    def sparse_batches(shuffle):
       ds = hb.data.Dataset.from_parquet(
           args.data, batch_size=args.batch_size, drop_remainder=True,
-          shuffle=True, partition_index=ctx0.rank,
+          shuffle=shuffle, partition_index=ctx0.rank,
           partition_count=ctx0.num_processes)
-      n = 0
+      return iter(ds)
+
+    for epoch in range(args.epochs):
       import time as _t
       t0 = _t.time()
-      for batch in DeviceIterator(SyncReplicasIterator(iter(ds))):
-        if args.steps and n >= args.steps:
-          break
-        state, m = sstep(state, batch)
-        n += 1
+      m = strainer.train(sparse_batches(True), max_steps=args.steps)
       dt = _t.time() - t0
-      print(f'epoch {epoch}: {n} steps, loss={float(m["loss"]):.4f}, '
-            f'{n * args.batch_size / dt:,.0f} samples/sec')
+      res = strainer.evaluate(sparse_batches(False))
+      print(f'epoch {epoch}: loss={m["loss"]:.4f}, '
+            f'auc={res["auc"]:.4f}, {dt:.1f}s')
     return
 
   opt = multi_optimizer(optax.adagrad(args.lr_tables),
