@@ -164,3 +164,22 @@ def test_env_kill_switch(files, monkeypatch):
   ds = ParquetDataset(files[0], batch_size=100)
   assert ds._native_iter() is None
   monkeypatch.setattr(native_tabular, '_TRIED', False)
+
+
+def test_orc_ragged_native():
+  import pyarrow.orc as po
+  d = tempfile.mkdtemp()
+  rng = np.random.RandomState(3)
+  lists = [rng.randint(0, 9, rng.randint(0, 5)).tolist() for _ in range(300)]
+  tbl = pa.table({'a': np.arange(300),
+                  'r': pa.array(lists, pa.list_(pa.int64()))})
+  p = os.path.join(d, 'ragged.orc')
+  po.write_table(tbl, p)
+  ds = Dataset.from_orc(p, batch_size=64)
+  assert ds._native_iter() is not None
+  got = []
+  for b in ds:
+    assert isinstance(b['r'], Value)
+    got.extend(b['r'].to_list())
+  assert len(got) == 300
+  assert all(list(x) == y for x, y in zip(got, lists))
