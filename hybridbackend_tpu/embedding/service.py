@@ -32,27 +32,74 @@ from hybridbackend_tpu.embedding.table import TableConfig
 from hybridbackend_tpu.framework.context import Context
 
 
+class Storage:
+  """Abstract row storage behind the cache (reference
+  ``EmbeddingService.pull/push``, ``service.py:143-149``): implement
+  against any KV store / parameter service. Rows are keyed by table row
+  index; a storage serves one logical table (+ aligned aux tables via
+  separate instances or the ``name`` argument)."""
+
+  def pull(self, name: str, keys: np.ndarray) -> np.ndarray:
+    """Fetch rows ``keys`` of table ``name`` → ``[len(keys), ...]``."""
+    raise NotImplementedError
+
+  def push(self, name: str, keys: np.ndarray,
+           values: np.ndarray) -> None:
+    """Write rows ``keys`` of table ``name``."""
+    raise NotImplementedError
+
+
+class InMemoryStorage(Storage):
+  """Default storage: plain host-DRAM arrays."""
+
+  def __init__(self, tables: Dict[str, np.ndarray]):
+    self.tables = tables
+
+  def pull(self, name, keys):
+    return self.tables[name][keys]
+
+  def push(self, name, keys, values):
+    self.tables[name][keys] = values
+
+
 class EmbeddingCache:
   """Fixed-capacity device cache over one host-DRAM table (plus aligned
   auxiliary tables, e.g. optimizer accumulators)."""
 
   def __init__(self, config: TableConfig, capacity: int,
-               host_tables: Dict[str, np.ndarray],
+               host_tables: Optional[Dict[str, np.ndarray]] = None,
+               storage: Optional[Storage] = None,
+               table_shapes: Optional[Dict[str, tuple]] = None,
+               table_dtypes: Optional[Dict[str, np.dtype]] = None,
                ctx: Optional[Context] = None):
     self.config = config
     self._ctx = ctx or Context.get()
-    if 'value' not in host_tables:
-      raise ValueError("host_tables must include a 'value' table")
-    vocab = host_tables['value'].shape[0]
-    for name, t in host_tables.items():
-      if t.shape[0] != vocab:
-        raise ValueError(f'host table {name!r} rows {t.shape[0]} != {vocab}')
+    if host_tables is None and storage is None:
+      raise ValueError('pass host_tables or a Storage')
+    if host_tables is not None:
+      if 'value' not in host_tables:
+        raise ValueError("host_tables must include a 'value' table")
+      vocab = host_tables['value'].shape[0]
+      for name, t in host_tables.items():
+        if t.shape[0] != vocab:
+          raise ValueError(
+              f'host table {name!r} rows {t.shape[0]} != {vocab}')
+      storage = InMemoryStorage(host_tables)
+      table_shapes = {n: t.shape[1:] for n, t in host_tables.items()}
+      table_dtypes = {n: t.dtype for n, t in host_tables.items()}
+    else:
+      if not table_shapes or 'value' not in table_shapes:
+        raise ValueError("storage mode needs table_shapes with 'value'")
+      table_dtypes = table_dtypes or {
+          n: np.dtype(np.float32) for n in table_shapes}
+    self.storage = storage
     self.capacity = int(capacity)
-    self.host: Dict[str, np.ndarray] = host_tables
-    # Device-resident caches, one per host table, same slot mapping.
+    self.host: Dict[str, np.ndarray] = host_tables or {}
+    # Device-resident caches, one per table, same slot mapping.
     self.device: Dict[str, jax.Array] = {
-        name: jnp.zeros((self.capacity,) + t.shape[1:], t.dtype)
-        for name, t in host_tables.items()
+        name: jnp.zeros((self.capacity,) + tuple(shape),
+                        table_dtypes[name])
+        for name, shape in table_shapes.items()
     }
     self._id_to_slot: Dict[int, int] = {}
     self._slot_to_id = np.full(self.capacity, -1, np.int64)
@@ -80,8 +127,8 @@ class EmbeddingCache:
     misses = [i for i in uniq.tolist() if i not in self._id_to_slot]
     if misses:
       slots = self._allocate(len(misses), protect=set(uniq.tolist()))
-      for name, host in self.host.items():
-        rows = jnp.asarray(host[np.asarray(misses)])
+      for name in self.device:
+        rows = jnp.asarray(self.storage.pull(name, np.asarray(misses)))
         self.device[name] = self.device[name].at[
             jnp.asarray(slots)].set(rows)
       for i, s in zip(misses, slots):
@@ -122,9 +169,9 @@ class EmbeddingCache:
       return
     idx = np.asarray(slots)
     owners = self._slot_to_id[idx]
-    for name, host in self.host.items():
+    for name in self.device:
       rows = np.asarray(self.device[name][jnp.asarray(idx)])
-      host[owners] = rows
+      self.storage.push(name, owners, rows)
 
   def flush(self) -> None:
     """Write every resident row back to the host tables (reference:
@@ -137,4 +184,4 @@ class EmbeddingCache:
     return jnp.take(self.device['value'], jnp.asarray(slots), axis=0)
 
 
-__all__ = ['EmbeddingCache']
+__all__ = ['EmbeddingCache', 'Storage', 'InMemoryStorage']

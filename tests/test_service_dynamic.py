@@ -146,3 +146,38 @@ class TestDynamicEmbedding:
     out = t({'uid': np.asarray([123456789, 42]), 'x': np.ones(2)})
     assert out['uid'].max() < 8
     np.testing.assert_array_equal(out['x'], np.ones(2))
+
+
+def test_embedding_cache_custom_storage():
+  """Reference pull/push abstract I/O (service.py:143-149): the cache
+  works against any Storage implementation, not just host arrays."""
+  from hybridbackend_tpu.embedding.service import EmbeddingCache, Storage
+  from hybridbackend_tpu.embedding import TableConfig
+
+  class CountingStorage(Storage):
+    def __init__(self, vocab, dim):
+      self.backing = {'value': np.arange(vocab * dim, dtype=np.float32)
+                      .reshape(vocab, dim)}
+      self.pulls = 0
+      self.pushes = 0
+
+    def pull(self, name, keys):
+      self.pulls += 1
+      return self.backing[name][keys]
+
+    def push(self, name, keys, values):
+      self.pushes += 1
+      self.backing[name][keys] = values
+
+  store = CountingStorage(100, 4)
+  cache = EmbeddingCache(TableConfig('s', 100, 4), capacity=8,
+                         storage=store, table_shapes={'value': (4,)})
+  slots = cache.prepare(np.asarray([1, 2, 3]))
+  emb = np.asarray(cache.lookup_embeddings(slots))
+  np.testing.assert_allclose(emb, store.backing['value'][[1, 2, 3]])
+  assert store.pulls == 1
+  # force evictions to trigger pushes
+  for base in range(0, 96, 8):
+    cache.prepare(np.arange(base, base + 8))
+  cache.flush()
+  assert store.pushes > 0
