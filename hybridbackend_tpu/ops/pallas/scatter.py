@@ -113,13 +113,14 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
     d = out_ref.shape[1]
     gsum = gsum_s[...][:, :d]
     if mode == 'add':
-      out_ref[...] = tbl_ref[...] + gsum
+      out_ref[...] = (tbl_ref[...] + gsum).astype(out_ref.dtype)
     elif mode == 'adagrad':
       # Adagrad on per-row gradient totals (untouched rows: gsum=0).
-      a = acc_ref[...] + gsum * gsum
-      acc_out_ref[...] = a
+      a = acc_ref[...].astype(jnp.float32) + gsum * gsum
+      acc_out_ref[...] = a.astype(acc_out_ref.dtype)
       lr = lr_ref[0]  # scalar-prefetched: traced learning rates work
-      out_ref[...] = tbl_ref[...] - lr * gsum / (jnp.sqrt(a) + eps)
+      out_ref[...] = (tbl_ref[...] - lr * gsum /
+                      (jnp.sqrt(a) + eps)).astype(out_ref.dtype)
     else:  # lazy adam: moments decay only on touched rows
       lr = lr_ref[0]
       b1 = lr_ref[1]
@@ -133,14 +134,15 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
       touched = (gsum_s[...][:, d:d + 1] > 0).astype(gsum.dtype)
       m_ref, v_ref = acc_ref
       m_out, v_out = acc_out_ref
-      m = jnp.where(touched > 0, b1 * m_ref[...] + (1 - b1) * gsum,
-                    m_ref[...])
-      v = jnp.where(touched > 0, b2 * v_ref[...] + (1 - b2) * gsum * gsum,
-                    v_ref[...])
-      m_out[...] = m
-      v_out[...] = v
-      out_ref[...] = tbl_ref[...] - touched * (
-          lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+      m0 = m_ref[...].astype(jnp.float32)
+      v0 = v_ref[...].astype(jnp.float32)
+      m = jnp.where(touched > 0, b1 * m0 + (1 - b1) * gsum, m0)
+      v = jnp.where(touched > 0, b2 * v0 + (1 - b2) * gsum * gsum, v0)
+      m_out[...] = m.astype(m_out.dtype)
+      v_out[...] = v.astype(v_out.dtype)
+      out_ref[...] = (tbl_ref[...] - touched * (
+          lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))).astype(
+              out_ref.dtype)
 
 
 def _block_starts(rows: jax.Array, vocab: int, block_rows: int

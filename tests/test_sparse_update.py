@@ -394,3 +394,20 @@ class TestSparseAdam:
                                  err_msg=impl)  # decayed, zero grad
       assert (m[np.arange(VOCAB)[(np.arange(VOCAB) != 7)
                                  & (np.arange(VOCAB) != 3)]] == 1.0).all()
+
+  def test_bf16_tables_supported(self):
+    """bf16 table storage (half HBM traffic) works in both impls."""
+    cfg = TableConfig('t', VOCAB, DIM, dtype=jnp.bfloat16, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(6))
+    assert table.dtype == jnp.bfloat16
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(15)
+    ids = jnp.asarray(rng.randint(0, VOCAB, BATCH), jnp.int32)
+    g = jnp.asarray(rng.randn(BATCH, DIM), jnp.float32)
+    outs = []
+    for impl in ('xla', 'stream'):
+      t2, _ = sparse_adagrad_apply(table, state, ids, g, cfg, 0.1,
+                                   impl=impl)
+      assert t2.dtype == jnp.bfloat16
+      outs.append(np.asarray(t2, dtype=np.float32))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=1e-2)
