@@ -41,6 +41,7 @@ enum DTypeCode : int32_t {
   DT_I8 = 1, DT_I16 = 2, DT_I32 = 3, DT_I64 = 4,
   DT_U8 = 5, DT_U16 = 6, DT_U32 = 7, DT_U64 = 8,
   DT_F32 = 10, DT_F64 = 11,
+  DT_STRING = 20,  // values = utf-8 bytes, splits = char offsets
 };
 
 int32_t ArrowTypeToCode(const arrow::DataType& t) {
@@ -213,7 +214,89 @@ class RebatchBuffer {
     bool ragged = first->type_id() == arrow::Type::LIST ||
                   first->type_id() == arrow::Type::LARGE_LIST;
     if (ragged) return EmitRagged(c, spans, n, perm, out, token);
+    if (first->type_id() == arrow::Type::STRING ||
+        first->type_id() == arrow::Type::LARGE_STRING) {
+      return EmitString(c, spans, n, perm, out, token);
+    }
     return EmitDense(c, spans, n, perm, out, token);
+  }
+
+  static int64_t StrOffset(const arrow::Array& a, int64_t i) {
+    if (a.type_id() == arrow::Type::STRING) {
+      return static_cast<const arrow::StringArray&>(a).value_offset(i);
+    }
+    return static_cast<const arrow::LargeStringArray&>(a).value_offset(i);
+  }
+
+  static const uint8_t* StrData(const arrow::Array& a) {
+    if (a.type_id() == arrow::Type::STRING) {
+      return static_cast<const arrow::StringArray&>(a).value_data()->data();
+    }
+    return static_cast<const arrow::LargeStringArray&>(a)
+        .value_data()->data();
+  }
+
+  arrow::Status EmitString(int c, const std::vector<Span>& spans,
+                           int64_t n, const std::vector<int64_t>& perm,
+                           ColDesc* out, BatchToken* token) {
+    // Emitted as utf-8 bytes + int64 char offsets (nulls -> empty).
+    out->dtype = DT_STRING;
+    out->ragged = 2;
+    ARROW_ASSIGN_OR_RAISE(auto obuf,
+                          arrow::AllocateBuffer((n + 1) * sizeof(int64_t)));
+    int64_t* offs = reinterpret_cast<int64_t*>(obuf->mutable_data());
+
+    struct RowRef { const arrow::Array* a; int64_t i; };
+    std::vector<std::shared_ptr<arrow::Array>> arrays;
+    std::vector<RowRef> rows;
+    rows.reserve(n);
+    for (const auto& s : spans) {
+      std::shared_ptr<arrow::Array> a;
+      ARROW_RETURN_NOT_OK(SpanArray(s, c, &a));
+      arrays.push_back(a);
+      for (int64_t i = 0; i < s.length; ++i) {
+        rows.push_back({arrays.back().get(), s.start + i});
+      }
+    }
+    auto row_at = [&](int64_t r) -> const RowRef& {
+      return rows[perm.empty() ? r : perm[r]];
+    };
+    offs[0] = 0;
+    for (int64_t r = 0; r < n; ++r) {
+      const RowRef& rr = row_at(r);
+      bool valid = rr.a->null_count() == 0 || rr.a->IsValid(rr.i);
+      int64_t len = valid
+          ? StrOffset(*rr.a, rr.i + 1) - StrOffset(*rr.a, rr.i) : 0;
+      offs[r + 1] = offs[r] + len;
+    }
+    int64_t total = offs[n];
+    out->num_values = total;
+    // Zero-copy bytes: one span, no nulls, no shuffle.
+    if (spans.size() == 1 && perm.empty() &&
+        arrays[0]->null_count() == 0) {
+      out->values = StrData(*arrays[0]) +
+                    StrOffset(*arrays[0], spans[0].start);
+      out->splits = offs;
+      token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(obuf)));
+      return arrow::Status::OK();
+    }
+    ARROW_ASSIGN_OR_RAISE(auto vbuf,
+                          arrow::AllocateBuffer(std::max<int64_t>(total, 1)));
+    uint8_t* dst = vbuf->mutable_data();
+    for (int64_t r = 0; r < n; ++r) {
+      const RowRef& rr = row_at(r);
+      bool valid = rr.a->null_count() == 0 || rr.a->IsValid(rr.i);
+      if (!valid) continue;
+      int64_t b = StrOffset(*rr.a, rr.i);
+      int64_t e = StrOffset(*rr.a, rr.i + 1);
+      std::memcpy(dst + offs[r], StrData(*rr.a) + b,
+                  static_cast<size_t>(e - b));
+    }
+    out->values = dst;
+    out->splits = offs;
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(obuf)));
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(vbuf)));
+    return arrow::Status::OK();
   }
 
   arrow::Status EmitDense(int c, const std::vector<Span>& spans, int64_t n,

@@ -129,7 +129,13 @@ def available() -> bool:
 def supports(fields: Sequence[Field]) -> bool:
   """True when every field can be served by the native plane."""
   for f in fields:
-    if f.ragged_rank > 1 or f.shape:
+    if f.shape:
+      return False
+    if np.dtype(f.dtype) == np.dtype(object):
+      if f.ragged_rank != 0:
+        return False  # list<string> falls back
+      continue  # flat string columns are native
+    if f.ragged_rank > 1:
       return False
     if np.dtype(f.dtype) not in _DTYPE_CODES:
       return False
@@ -227,6 +233,14 @@ class NativeTabularIterator:
     out: Dict[str, object] = {}
     for i, f in enumerate(self._fields):
       c = cols[i]
+      if c.dtype == 20:  # string: utf-8 bytes + char offsets
+        data = _wrap(c.values, c.num_values, np.dtype(np.uint8), token)
+        offs = _wrap(c.splits, n + 1, np.dtype(np.int64), token)
+        buf = data.tobytes()
+        out[f.name] = np.array(
+            [buf[offs[j]:offs[j + 1]].decode('utf-8', 'replace')
+             for j in range(n)], dtype=object)
+        continue
       dtype = _CODE_DTYPES[c.dtype]
       values = _wrap(c.values, c.num_values, dtype, token)
       if c.ragged:

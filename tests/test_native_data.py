@@ -124,16 +124,33 @@ def test_null_fill_with_defaults():
   assert b['y'].to_list() == [[1, 2], [], [3, -9], [], [4]]
 
 
-def test_string_column_falls_back_to_python_path():
+def test_string_columns_native():
   d = tempfile.mkdtemp()
-  t = pa.table({'s': pa.array(['a', 'bb', 'ccc']),
-                'i': np.arange(3)})
+  strs = ['a', 'bb', 'ccc', 'unicode-é漢'] * 50
+  t = pa.table({'s': pa.array(strs), 'i': np.arange(200),
+                'sn': pa.array(['x', None] * 100)})
   p = os.path.join(d, 's.parquet')
+  pq.write_table(t, p, row_group_size=64)
+  ds = ParquetDataset(p, batch_size=32)
+  assert ds._native_iter() is not None  # flat strings are native
+  got, got_n = [], []
+  for b in ds:
+    got.extend(b['s'].tolist())
+    got_n.extend(b['sn'].tolist())
+  assert got == strs
+  assert got_n == ['x', ''] * 100  # nulls -> empty strings
+
+
+def test_list_of_string_falls_back_to_python_path():
+  d = tempfile.mkdtemp()
+  t = pa.table({'ls': pa.array([['a'], ['b', 'c'], []]),
+                'i': np.arange(3)})
+  p = os.path.join(d, 'ls.parquet')
   pq.write_table(t, p)
   ds = ParquetDataset(p, batch_size=2)
-  assert ds._native_iter() is None  # strings not native-supported
+  assert ds._native_iter() is None  # list<string> not native
   batches = list(ds)
-  assert [s for b in batches for s in b['s']] == ['a', 'bb', 'ccc']
+  assert sum(b['i'].shape[0] for b in batches) == 3
 
 
 def test_buffers_outlive_iterator(files):
