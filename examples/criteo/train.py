@@ -153,7 +153,7 @@ def main():
     for epoch in range(args.epochs):
       import time as _t
       t0 = _t.time()
-      m = strainer.train(sparse_batches(True), max_steps=args.steps)
+      m = strainer.train(sparse_batches(True), max_steps=args.steps or None)
       dt = _t.time() - t0
       res = strainer.evaluate(sparse_batches(False))
       print(f'epoch {epoch}: loss={m["loss"]:.4f}, '

@@ -220,6 +220,8 @@ def from_arrow(array) -> Column:
     splits.append(offset_view.astype(np.int64, copy=False))
     array = array.flatten()
   if pa.types.is_string(array.type) or pa.types.is_large_string(array.type):
+    if array.null_count:
+      array = array.fill_null('')  # null strings are empty (both paths)
     values = array.to_numpy(zero_copy_only=False)
   else:
     try:

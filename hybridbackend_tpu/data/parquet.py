@@ -259,16 +259,40 @@ class ParquetDataset:
             and native_tabular.supports(self._fields)):
       return None
     try:
+      import pyarrow as pa
+
+      def read_schema(fname):
+        if self._format == 'orc':
+          import pyarrow.orc as po
+          return po.ORCFile(fname).schema
+        import pyarrow.parquet as pq
+        return pq.read_schema(fname)
+
+      def col_native(t) -> bool:
+        # The authoritative type check: only what the C++ plane emits.
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+          t = t.value_type
+          return (pa.types.is_integer(t)
+                  or pa.types.is_float32(t) or pa.types.is_float64(t))
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+          return True
+        return (pa.types.is_integer(t)
+                or pa.types.is_float32(t) or pa.types.is_float64(t))
+
+      names = {f.name for f in self._fields}
+      schema0 = read_schema(self._files[0])
+      types0 = {f.name: f.type for f in schema0 if f.name in names}
+      if len(types0) != len(names):
+        return None
+      if not all(col_native(t) for t in types0.values()):
+        return None
       if len(self._files) > 1:
-        # The native plane memcpy's with the first file's element
-        # sizes; heterogeneous schemas (dtype drift across files) must
-        # take the Python path, which upcasts on concat.
-        base = {f.name: (f.dtype, f.ragged_rank)
-                for f in infer_fields(self._files[0], self._format)}
+        # The native plane memcpy's with the first file's physical
+        # types; ANY type drift across files (including string vs
+        # large_string) must take the Python path, which upcasts.
         for fname in self._files[1:]:
-          for f in infer_fields(fname, self._format):
-            if f.name in base and base[f.name] != (f.dtype,
-                                                   f.ragged_rank):
+          for f in read_schema(fname):
+            if f.name in types0 and not f.type.equals(types0[f.name]):
               return None
       return native_tabular.NativeTabularIterator(
           self._files, list(self._task_indices()), self._fields,

@@ -76,6 +76,9 @@ class EmbeddingCache:
     self._ctx = ctx or Context.get()
     if host_tables is None and storage is None:
       raise ValueError('pass host_tables or a Storage')
+    if host_tables is not None and storage is not None:
+      raise ValueError('pass host_tables OR storage, not both (seed a '
+                       'custom Storage with the initial rows instead)')
     if host_tables is not None:
       if 'value' not in host_tables:
         raise ValueError("host_tables must include a 'value' table")
@@ -90,8 +93,8 @@ class EmbeddingCache:
     else:
       if not table_shapes or 'value' not in table_shapes:
         raise ValueError("storage mode needs table_shapes with 'value'")
-      table_dtypes = table_dtypes or {
-          n: np.dtype(np.float32) for n in table_shapes}
+      table_dtypes = {**{n: np.dtype(np.float32) for n in table_shapes},
+                      **(table_dtypes or {})}
     self.storage = storage
     self.capacity = int(capacity)
     self.host: Dict[str, np.ndarray] = host_tables or {}

@@ -236,9 +236,9 @@ class NativeTabularIterator:
       if c.dtype == 20:  # string: utf-8 bytes + char offsets
         data = _wrap(c.values, c.num_values, np.dtype(np.uint8), token)
         offs = _wrap(c.splits, n + 1, np.dtype(np.int64), token)
-        buf = data.tobytes()
         out[f.name] = np.array(
-            [buf[offs[j]:offs[j + 1]].decode('utf-8', 'replace')
+            [data[offs[j]:offs[j + 1]].tobytes().decode('utf-8',
+                                                        'replace')
              for j in range(n)], dtype=object)
         continue
       dtype = _CODE_DTYPES[c.dtype]

@@ -200,3 +200,36 @@ def test_orc_ragged_native():
     got.extend(b['r'].to_list())
   assert len(got) == 300
   assert all(list(x) == y for x, y in zip(got, lists))
+
+
+def test_binary_column_falls_back():
+  d = tempfile.mkdtemp()
+  pq.write_table(pa.table({'b': pa.array([b'x', b'yy'], pa.binary()),
+                           'i': np.arange(2)}),
+                 os.path.join(d, 'b.parquet'))
+  ds = ParquetDataset(os.path.join(d, 'b.parquet'), batch_size=2)
+  assert ds._native_iter() is None
+  assert sum(b['i'].shape[0] for b in ds) == 2
+
+
+def test_string_type_drift_falls_back():
+  d = tempfile.mkdtemp()
+  pq.write_table(pa.table({'s': pa.array(['a', 'b'], pa.string())}),
+                 os.path.join(d, 's1.parquet'))
+  pq.write_table(pa.table({'s': pa.array(['c', 'd'], pa.large_string())}),
+                 os.path.join(d, 's2.parquet'))
+  ds = ParquetDataset([os.path.join(d, 's1.parquet'),
+                       os.path.join(d, 's2.parquet')], batch_size=3)
+  assert ds._native_iter() is None
+  assert [s for b in ds for s in b['s']] == ['a', 'b', 'c', 'd']
+
+
+def test_null_strings_consistent_across_paths(monkeypatch):
+  d = tempfile.mkdtemp()
+  p = os.path.join(d, 'n.parquet')
+  pq.write_table(pa.table({'s': pa.array(['x', None, 'y'])}), p)
+  ds = ParquetDataset(p, batch_size=3)
+  native = [s for b in ds for s in b['s']]
+  monkeypatch.setattr(native_tabular, 'available', lambda: False)
+  python = [s for b in ParquetDataset(p, batch_size=3) for s in b['s']]
+  assert native == python == ['x', '', 'y']
