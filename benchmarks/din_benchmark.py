@@ -29,6 +29,9 @@ def main():
   p.add_argument('--vocab', type=int, default=1_000_000)
   p.add_argument('--inner-steps', type=int, default=20)
   p.add_argument('--repeats', type=int, default=3)
+  p.add_argument('--sparse', action='store_true',
+                 help='row-sparse table updates (Pallas stream kernel '
+                      'on TPU) via make_sparse_train_step raw mode')
   p.add_argument('--cpu', type=int, default=0)
   p.add_argument('--json', action='store_true')
   args = p.parse_args()
@@ -43,40 +46,65 @@ def main():
   import hybridbackend_tpu as hb
   from hybridbackend_tpu.embedding import TableConfig, create_table
   from hybridbackend_tpu.embedding.lookup import lookup
-  from hybridbackend_tpu.models import din_apply, din_init
+  from hybridbackend_tpu.models import (
+      EmbeddingSpec, StackedFeatureExtractor, din_apply, din_init)
   from hybridbackend_tpu.training import (
-      TrainState, make_train_step, multi_optimizer)
+      SparseTrainState, TrainState, make_sparse_train_step,
+      make_train_step, multi_optimizer)
 
   ctx = hb.Context.get()
   item_cfg = TableConfig('item', args.vocab, args.dim)
   user_cfg = TableConfig('user', args.vocab // 10, args.dim)
   key = jax.random.PRNGKey(0)
   k_i, k_u, k_net = jax.random.split(key, 3)
-  params = {
-      'tables': {'item': create_table(item_cfg, k_i, ctx),
-                 'user': create_table(user_cfg, k_u, ctx)},
-      'net': din_init(k_net, args.dim, num_profile_features=1,
-                      num_dense=2),
-  }
+  net = din_init(k_net, args.dim, num_profile_features=1, num_dense=2)
 
-  def loss_fn(params, batch):
-    t = params['tables']
-    # Candidate + history share the item table: ONE fused exchange.
-    all_ids = jnp.concatenate([batch['item'][:, None], batch['hist']],
-                              axis=1)                       # [B, 1+L]
-    emb = lookup(t['item'], all_ids, item_cfg, ctx=ctx)     # [B, 1+L, D]
-    query, keys = emb[:, 0], emb[:, 1:]
-    user = lookup(t['user'], batch['user'], user_cfg, ctx=ctx)
-    preds = din_apply(params['net'], query, keys, batch['hist_mask'],
+  def din_loss(net_params, query, keys, user, batch):
+    preds = din_apply(net_params, query, keys, batch['hist_mask'],
                       [user], [batch['d0'], batch['d1']])
     preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
     y = batch['label']
     loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
     return loss, {}
 
-  opt = multi_optimizer(optax.adagrad(0.05), optax.adam(1e-3))(params)
-  state = TrainState.create(params, opt, ctx)
-  step = make_train_step(loss_fn, opt, ctx)
+  if args.sparse:
+    # Row-sparse path: 'cand_hist' carries [B, 1+L] ids; raw mode hands
+    # the model the UNCOMBINED [B, 1+L, D] sequence for attention.
+    fx = StackedFeatureExtractor(
+        [EmbeddingSpec(item_cfg, column='cand_hist'),
+         EmbeddingSpec(user_cfg)], ctx=ctx)
+    tables = fx.init(k_i)
+
+    def raw_loss(net_params, members, batch):
+      emb = members['item']                                 # [B, 1+L, D]
+      return din_loss(net_params, emb[:, 0], emb[:, 1:],
+                      members['user'], batch)
+
+    state = SparseTrainState.create(net, tables, optax.adam(1e-3),
+                                    adagrad_init=0.1, ctx=ctx)
+    step = make_sparse_train_step(fx, None, optax.adam(1e-3),
+                                  table_lr=0.05, ctx=ctx,
+                                  raw_model_loss=raw_loss,
+                                  donate_state=False)
+  else:
+    params = {
+        'tables': {'item': create_table(item_cfg, k_i, ctx),
+                   'user': create_table(user_cfg, k_u, ctx)},
+        'net': net,
+    }
+
+    def loss_fn(params, batch):
+      t = params['tables']
+      # Candidate + history share the item table: ONE fused exchange.
+      all_ids = jnp.concatenate([batch['item'][:, None], batch['hist']],
+                                axis=1)                     # [B, 1+L]
+      emb = lookup(t['item'], all_ids, item_cfg, ctx=ctx)   # [B, 1+L, D]
+      user = lookup(t['user'], batch['user'], user_cfg, ctx=ctx)
+      return din_loss(params['net'], emb[:, 0], emb[:, 1:], user, batch)
+
+    opt = multi_optimizer(optax.adagrad(0.05), optax.adam(1e-3))(params)
+    state = TrainState.create(params, opt, ctx)
+    step = make_train_step(loss_fn, opt, ctx)
 
   rng = np.random.RandomState(0)
   lengths = rng.randint(1, args.hist + 1, args.batch)
@@ -93,6 +121,8 @@ def main():
       'd1': jnp.asarray(rng.rand(args.batch, 1), jnp.float32),
       'label': jnp.asarray(rng.randint(0, 2, args.batch), jnp.float32),
   }
+  base['cand_hist'] = jnp.concatenate(
+      [base['item'][:, None], base['hist']], axis=1)        # [B, 1+L]
   base = {k: jax.device_put(v, ctx.batch_sharding) for k, v in base.items()}
 
   def multi_step(state, _):
@@ -101,6 +131,7 @@ def main():
       batch = dict(base)
       batch['item'] = (base['item'] + i) % args.vocab
       batch['hist'] = (base['hist'] + i) % args.vocab
+      batch['cand_hist'] = (base['cand_hist'] + i) % args.vocab
       st, metrics = step(st, batch)
       return st, metrics['loss']
     return jax.lax.scan(body, state, jnp.arange(args.inner_steps))
@@ -124,7 +155,7 @@ def main():
       'ms_per_step': round(1000 * best / args.inner_steps, 3),
       'batch': args.batch, 'hist': args.hist, 'dim': args.dim,
       'vocab': args.vocab, 'devices': ctx.world_size,
-      'backend': jax.default_backend(),
+      'sparse': args.sparse, 'backend': jax.default_backend(),
       'compile_s': round(compile_s, 1), 'final_loss': round(first, 4),
   }
   if args.json:

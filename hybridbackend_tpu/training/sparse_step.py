@@ -69,6 +69,7 @@ def make_sparse_train_step(
     ctx: Optional[Context] = None, *,
     table_dedup: bool = True,
     table_optimizer: str = 'adagrad',
+    raw_model_loss: Optional[Callable] = None,
     donate_state: bool = True) -> Callable:
   """Build the jitted sparse-update train step.
 
@@ -83,9 +84,16 @@ def make_sparse_train_step(
       (adagrad only).
     table_optimizer: 'adagrad' (accumulator slot) or 'adam' (LazyAdam,
       m/v slots — create the state with ``adam=True``).
+    raw_model_loss: ``(dense_params, member_embs {name: [B, ..., D]},
+      batch) -> (scalar_loss, aux)`` — alternative model hook receiving
+      UNCOMBINED per-member embeddings (each member id column's original
+      shape + (dim,)). For sequence models (DIN attention pooling over a
+      [B, L, D] history) that consume embeddings before any combiner.
+      When set, ``model_loss`` is ignored (pass ``None``).
 
   Returns ``step(state, batch) -> (state, metrics)``.
   """
+  from hybridbackend_tpu.embedding.stack import unpack_embeddings
   ctx = ctx or Context.get()
   if table_optimizer not in ('adagrad', 'adam'):
     raise ValueError(f'Unknown table_optimizer {table_optimizer!r}; '
@@ -99,6 +107,12 @@ def make_sparse_train_step(
 
     # 2. Differentiate w.r.t. dense params AND the raw embeddings.
     def loss_from(dense, raw_embs):
+      if raw_model_loss is not None:
+        members = {}
+        for name, emb in raw_embs.items():
+          members.update(unpack_embeddings(
+              stacks_by_name[name], emb, layouts[name]))
+        return raw_model_loss(dense, members, batch)
       emb_f, dense_f = fx.combine_from_raw(raw_embs, layouts, batch)
       return model_loss(dense, emb_f, dense_f, batch)
 

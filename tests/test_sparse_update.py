@@ -411,3 +411,105 @@ class TestSparseAdam:
       assert t2.dtype == jnp.bfloat16
       outs.append(np.asarray(t2, dtype=np.float32))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=1e-2)
+
+
+class TestRawModelLoss:
+  """``raw_model_loss`` hands the model UNCOMBINED per-member
+  embeddings (sequence models; reference DIN `model.py:154+` consumes
+  the [B, L, D] history before any combiner)."""
+
+  def _setup(self):
+    specs = [EmbeddingSpec(TableConfig('seq', 120, DIM, combiner='sum'),
+                           column='seq'),
+             EmbeddingSpec(TableConfig('cat', 60, DIM))]
+    fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+    key = jax.random.PRNGKey(3)
+    kt, kn = jax.random.split(key)
+    tables = fx.init(kt)
+    dense = stacked_dcn_v2_init(kn, [DIM, DIM, 1], [16, 1])
+    rng = np.random.RandomState(7)
+    seq = rng.randint(0, 120, (BATCH, 6))
+    batch = {
+        'seq': jnp.asarray(seq, jnp.int32),
+        'seq_mask': jnp.asarray(
+            np.arange(6)[None, :] < rng.randint(1, 7, (BATCH, 1))),
+        'cat': jnp.asarray(rng.randint(0, 60, BATCH), jnp.int32),
+        'd0': jnp.asarray(rng.rand(BATCH), jnp.float32),
+        'label': jnp.asarray((seq[:, 0] % 2).astype(np.float32)),
+    }
+    return fx, tables, dense, batch
+
+  @staticmethod
+  def _bce(dense_params, emb_f, dense_f, batch):
+    preds = jnp.clip(
+        stacked_dcn_v2_apply(dense_params, emb_f + dense_f),
+        1e-6, 1 - 1e-6)
+    y = batch['label']
+    return -jnp.mean(y * jnp.log(preds)
+                     + (1 - y) * jnp.log(1 - preds)), {}
+
+  def test_matches_combined_mode_exactly(self):
+    """Reimplementing the sum-combiner inside raw_model_loss must give
+    the same step as combined mode (same grads -> same tables)."""
+    fx, tables, dense, batch = self._setup()
+    opt = optax.adam(3e-3)
+
+    def raw_loss(dense_params, members, b):
+      m = b['seq_mask'].astype(members['seq'].dtype)
+      seq_f = jnp.sum(members['seq'] * m[..., None], axis=-2)
+      emb_f = [seq_f, members['cat']]
+      return self._bce(dense_params, emb_f,
+                       [b['d0'][:, None].astype(jnp.float32)], b)
+
+    s_raw = SparseTrainState.create(dense, tables, opt)
+    s_cmb = SparseTrainState.create(dense, tables, opt)
+    step_raw = make_sparse_train_step(fx, None, opt, table_lr=0.1,
+                                      raw_model_loss=raw_loss,
+                                      donate_state=False)
+    step_cmb = make_sparse_train_step(fx, self._bce, opt, table_lr=0.1,
+                                      donate_state=False)
+    for _ in range(2):
+      s_raw, m_raw = step_raw(s_raw, batch)
+      s_cmb, m_cmb = step_cmb(s_cmb, batch)
+    np.testing.assert_allclose(float(m_raw['loss']),
+                               float(m_cmb['loss']), rtol=1e-6)
+    for name in s_raw.tables:
+      np.testing.assert_allclose(np.asarray(s_raw.tables[name]),
+                                 np.asarray(s_cmb.tables[name]),
+                                 rtol=1e-6, atol=1e-7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        s_raw.dense, s_cmb.dense)
+
+  def test_attention_over_raw_sequence_trains(self):
+    """DIN-style use: attention pooling over the raw [B, L, D] history
+    keyed by a candidate — only expressible with raw_model_loss."""
+    from hybridbackend_tpu.models import din_apply, din_init
+    fx, tables, _, batch = self._setup()
+    net = din_init(jax.random.PRNGKey(9), DIM, num_profile_features=1,
+                   num_dense=1, dnn_hidden_units=(16, 8),
+                   att_hidden_size=(8,))
+
+    def raw_loss(net_params, members, b):
+      keys = members['seq']                       # [B, L, D] uncombined
+      query = members['cat']                      # candidate [B, D]
+      preds = jnp.clip(
+          din_apply(net_params, query, keys,
+                    b['seq_mask'].astype(jnp.float32), [query],
+                    [b['d0'][:, None]]),
+          1e-6, 1 - 1e-6)
+      y = b['label']
+      return -jnp.mean(y * jnp.log(preds)
+                       + (1 - y) * jnp.log(1 - preds)), {}
+
+    opt = optax.adam(3e-3)
+    state = SparseTrainState.create(net, tables, opt)
+    step = make_sparse_train_step(fx, None, opt, table_lr=0.1,
+                                  raw_model_loss=raw_loss,
+                                  donate_state=False)
+    state, m = step(state, batch)
+    l0 = float(m['loss'])
+    for _ in range(80):
+      state, m = step(state, batch)
+    assert float(m['loss']) < l0 * 0.7, (l0, float(m['loss']))
