@@ -69,6 +69,9 @@ def main():
   p.add_argument('--steps', type=int, default=None)
   p.add_argument('--epochs', type=int, default=1)
   p.add_argument('--model-dir', default='')
+  p.add_argument('--sparse', action='store_true',
+                 help='row-sparse table updates (Pallas stream kernel '
+                      'on TPU); uses SparseTrainer raw mode')
   p.add_argument('--cpu', type=int, default=0)
   args = p.parse_args()
 
@@ -94,41 +97,71 @@ def main():
 
   item_cfg = TableConfig('item', ITEM_VOCAB, args.dim)
   user_cfg = TableConfig('user', USER_VOCAB, args.dim)
-  specs = [EmbeddingSpec(item_cfg), EmbeddingSpec(user_cfg)]
   key = jax.random.PRNGKey(0)
   k_tab, k_net = jax.random.split(key)
-  params = {
-      'tables': init_tables(specs, k_tab),
-      'net': din_init(k_net, args.dim, num_profile_features=1,
-                      num_dense=0),
-  }
+  net = din_init(k_net, args.dim, num_profile_features=1, num_dense=0)
 
-  def loss_fn(params, batch):
-    tables = params['tables']
-    query = lookup(tables['item'], batch['item'], item_cfg)      # [B,D]
-    keys = lookup(tables['item'], batch['hist'], item_cfg)       # [B,L,D]
-    profile = lookup(tables['user'], batch['user'], user_cfg)
-    preds = din_apply(params['net'], query, keys, batch['hist_mask'],
+  def din_loss(net_params, query, keys, profile, batch):
+    preds = din_apply(net_params, query, keys, batch['hist_mask'],
                       [profile])
     preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
     y = batch['label']
     loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
     return loss, {'preds': preds}
 
-  opt = multi_optimizer(optax.adagrad(0.1), optax.adam(1e-3))(params)
-  trainer = hb.Trainer(loss_fn, params, opt,
-                       model_dir=args.model_dir or None,
-                       group_key='user')
+  if args.sparse:
+    # Candidate + history resolved in ONE fused exchange ('cand_hist'
+    # column, [B, 1+L]); raw mode hands attention the uncombined
+    # sequence. Tables update on touched rows only.
+    from hybridbackend_tpu.models import StackedFeatureExtractor
+    fx = StackedFeatureExtractor(
+        [EmbeddingSpec(item_cfg, column='cand_hist'),
+         EmbeddingSpec(user_cfg)])
+
+    def raw_loss(net_params, members, batch):
+      emb = members['item']                               # [B, 1+L, D]
+      return din_loss(net_params, emb[:, 0], emb[:, 1:],
+                      members['user'], batch)
+
+    trainer = hb.SparseTrainer(fx, None, net, rng=k_tab,
+                               raw_model_loss=raw_loss, table_lr=0.1,
+                               model_dir=args.model_dir or None,
+                               group_key='user')
+  else:
+    specs = [EmbeddingSpec(item_cfg), EmbeddingSpec(user_cfg)]
+    params = {
+        'tables': init_tables(specs, k_tab),
+        'net': net,
+    }
+
+    def loss_fn(params, batch):
+      tables = params['tables']
+      query = lookup(tables['item'], batch['item'], item_cfg)    # [B,D]
+      keys = lookup(tables['item'], batch['hist'], item_cfg)     # [B,L,D]
+      profile = lookup(tables['user'], batch['user'], user_cfg)
+      return din_loss(params['net'], query, keys, profile, batch)
+
+    opt = multi_optimizer(optax.adagrad(0.1), optax.adam(1e-3))(params)
+    trainer = hb.Trainer(loss_fn, params, opt,
+                         model_dir=args.model_dir or None,
+                         group_key='user')
 
   ctx = hb.Context.get()
   fields = [Field('hist', ragged_rank=1, max_len=args.max_hist)]
+
+  def add_cand_hist(b):
+    if args.sparse:
+      b = dict(b)
+      b['cand_hist'] = np.concatenate(
+          [np.asarray(b['item'])[:, None], np.asarray(b['hist'])], axis=1)
+    return b
 
   def batches(shuffle):
     ds = hb.data.Dataset.from_parquet(
         args.data, batch_size=args.batch_size, drop_remainder=True,
         shuffle=shuffle, partition_index=ctx.rank,
         partition_count=ctx.num_processes)
-    return (hb.data.parse(b, fields) for b in ds)
+    return (add_cand_hist(hb.data.parse(b, fields)) for b in ds)
 
   hooks = [LoggingHook(every_n_steps=25, log=print)]
   for epoch in range(args.epochs):

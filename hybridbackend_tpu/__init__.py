@@ -22,7 +22,7 @@ from hybridbackend_tpu import metrics
 from hybridbackend_tpu import models
 from hybridbackend_tpu import pipeline
 from hybridbackend_tpu import training
-from hybridbackend_tpu.estimator import Trainer
+from hybridbackend_tpu.estimator import SparseTrainer, Trainer
 
 
 def wraps(obj):

@@ -229,6 +229,10 @@ class SparseTrainer(Trainer):
     model_loss: ``(dense_params, emb_features, dense_features, batch)
       -> (loss, aux)``.
     dense_params: the tower params; tables come from ``fx.init``.
+    raw_model_loss: ``(dense_params, member_embs, batch) -> (loss,
+      aux)`` — receives UNCOMBINED per-member embeddings (sequence
+      models, e.g. DIN attention over the raw [B, L, D] history). When
+      set, ``model_loss`` is ignored (pass ``None``).
   """
 
   def __init__(self, fx, model_loss: Callable, dense_params: Any,
@@ -237,6 +241,7 @@ class SparseTrainer(Trainer):
                table_lr: float = 0.05,
                adagrad_init: float = 0.1,
                table_optimizer: str = 'adagrad',
+               raw_model_loss: Optional[Callable] = None,
                model_dir: Optional[str] = None,
                ctx: Optional[Context] = None,
                label_key: str = 'label',
@@ -257,12 +262,25 @@ class SparseTrainer(Trainer):
         adam=(table_optimizer == 'adam'))
     self._step_fn = make_sparse_train_step(
         fx, model_loss, dense_optimizer, table_lr, self._ctx,
-        table_optimizer=table_optimizer)
+        table_optimizer=table_optimizer, raw_model_loss=raw_model_loss)
 
-    def eval_fn(params, batch):
-      dense, tables = params
-      emb_f, dense_f = fx(tables, batch)
-      return model_loss(dense, emb_f, dense_f, batch)
+    if raw_model_loss is not None:
+      from hybridbackend_tpu.embedding.stack import unpack_embeddings
+      stacks_by_name = {s.stacked.name: s for s in fx.stacks}
+
+      def eval_fn(params, batch):
+        dense, tables = params
+        raw, _, layouts = fx.lookup_raw(tables, batch)
+        members = {}
+        for name, emb in raw.items():
+          members.update(unpack_embeddings(
+              stacks_by_name[name], emb, layouts[name]))
+        return raw_model_loss(dense, members, batch)
+    else:
+      def eval_fn(params, batch):
+        dense, tables = params
+        emb_f, dense_f = fx(tables, batch)
+        return model_loss(dense, emb_f, dense_f, batch)
 
     self._eval_fn = make_eval_step(eval_fn, self._ctx)
     self._loss_fn = eval_fn

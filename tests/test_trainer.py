@@ -319,3 +319,48 @@ def test_checkpoint_world_size_independence(tmp_path):
     t4 = restored['w']
     assert len(t4.sharding.device_set) == 4  # re-sharded to new mesh
     np.testing.assert_array_equal(np.asarray(t4), host8)
+
+
+def test_sparse_trainer_raw_mode_trains_and_evaluates():
+  """SparseTrainer(raw_model_loss=): DIN-style attention over the raw
+  [B, L, D] sequence through the full Trainer lifecycle (train +
+  evaluate use the same raw hook)."""
+  from hybridbackend_tpu.models import (
+      StackedFeatureExtractor, din_apply, din_init)
+
+  L = 4
+  fx = StackedFeatureExtractor(
+      [EmbeddingSpec(TableConfig('item', 300, DIM), column='cand_hist')])
+  net = din_init(jax.random.PRNGKey(3), DIM, num_profile_features=0,
+                 num_dense=0, dnn_hidden_units=(16, 8),
+                 att_hidden_size=(8,))
+
+  def raw_loss(net_params, members, batch):
+    emb = members['item']                                 # [B, 1+L, D]
+    preds = jnp.clip(
+        din_apply(net_params, emb[:, 0], emb[:, 1:],
+                  batch['hist_mask'], []),
+        1e-6, 1 - 1e-6)
+    y = batch['label']
+    return -jnp.mean(y * jnp.log(preds)
+                     + (1 - y) * jnp.log(1 - preds)), {'preds': preds}
+
+  def seq_batches(n, seed=0):
+    rng = np.random.RandomState(seed)
+    for _ in range(n):
+      cand = rng.randint(0, 300, BATCH)
+      hist = rng.randint(0, 300, (BATCH, L))
+      yield {
+          'cand_hist': np.concatenate([cand[:, None], hist],
+                                      axis=1).astype(np.int32),
+          'hist_mask': np.ones((BATCH, L), np.float32),
+          'label': (cand % 2 == 0).astype(np.float32),
+      }
+
+  t = hb.SparseTrainer(fx, None, net, raw_model_loss=raw_loss,
+                       table_lr=0.2)
+  m0 = t.evaluate(seq_batches(4, seed=8))
+  t.train(seq_batches(300, seed=9), sync=False)
+  m1 = t.evaluate(seq_batches(4, seed=8))
+  assert m1['loss'] < m0['loss'] - 0.02, (m0, m1)
+  assert m1['auc'] > 0.7, m1
