@@ -7,6 +7,7 @@ variable-length click history (ragged Parquet list column → padded+mask),
 plus user-profile features, into a DNN.
 
   python examples/taobao/train_din.py --synthesize --steps 200 --cpu 8
+  python examples/taobao/train_din.py --synthesize --sparse   # row-sparse
 """
 
 import os as _os
