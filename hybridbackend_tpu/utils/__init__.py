@@ -1,1 +1,2 @@
-from hybridbackend_tpu.utils.profiler import profile_trace, named_scope
+from hybridbackend_tpu.utils.profiler import (
+    dump_hlo, named_scope, profile_trace)
