@@ -40,6 +40,12 @@ OPTIONS.register(
         "'stream' (Pallas table-streaming one-hot-matmul kernel — "
         "measured 2.3x the XLA scatters on v5e), or 'auto' "
         "(stream on TPU, xla elsewhere).")
+OPTIONS.register(
+    'emb_update_block_rows', 0, env='HB_EMB_UPDATE_BLOCK_ROWS',
+    doc='Table rows per grid step of the stream update kernel; 0 = '
+        'kernel default. The one-hot compare cost scales with '
+        'block_rows while streaming overhead shrinks with it (1024 '
+        'measured 12% faster than 2048 at 1M x 32 / 133k updates).')
 
 
 def _use_stream(impl: str) -> bool:
@@ -56,9 +62,12 @@ def _stream_adagrad(table, acc, rows, g, lr, eps):
   from hybridbackend_tpu.ops.pallas.scatter import adagrad_update_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
+  kwargs = {}
+  if OPTIONS['emb_update_block_rows']:
+    kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   return adagrad_update_sorted(table, acc, rows[order], g[order],
                                lr=lr, eps=float(eps),
-                               interpret=interpret)
+                               interpret=interpret, **kwargs)
 
 
 class SparseOptState(NamedTuple):
@@ -234,8 +243,11 @@ def _stream_sgd(table, rows, g, lr):
   from hybridbackend_tpu.ops.pallas.scatter import scatter_add_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
+  kwargs = {}
+  if OPTIONS['emb_update_block_rows']:
+    kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   return scatter_add_sorted(table, rows[order], (-lr) * g[order],
-                            interpret=interpret)
+                            interpret=interpret, **kwargs)
 
 
 def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,

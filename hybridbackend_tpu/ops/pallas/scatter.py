@@ -33,8 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_ROWS = 2048   # table rows per grid step (VMEM block; lane-padded
-                     # to 128 in VMEM, so keep blocks modest)
+_BLOCK_ROWS = 1024   # table rows per grid step. The one-hot compare
+                     # cost grows with block_rows while per-block
+                     # streaming overhead shrinks: on one v5e chip 1024
+                     # beat 2048 by 12% at [1M, 32]/133k updates and by
+                     # 1.4% end-to-end on the flagship 26-table step.
 _CHUNK = 128         # update rows DMA'd per inner iteration (smaller
                      # chunks waste less one-hot work on sparse blocks)
 
