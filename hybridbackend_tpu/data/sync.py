@@ -6,10 +6,20 @@ TPU-native re-design of the reference's ``SyncReplicasDataset``
 everyone) has exhausted their data partition so all replicas stop
 *together* — otherwise collectives in the training step would deadlock.
 
-The reference allreduces an exhaustion count through a session hook. In
-JAX the same contract is a psum of a local ``has_data`` flag across
-processes each step (SURVEY §7: "SyncReplicas out-of-range → psum of a
-local has_data flag").
+The reference allreduces an exhaustion count through a session hook and
+lets TF carry variable-shape final batches. XLA needs static shapes, so
+the TPU-native non-drop contract is **pad + per-row validity weights**:
+
+* Every step the replicas exchange ``(has_data, rows)`` and agree on a
+  global row count (the max across replicas).
+* Every emitted batch is padded to that row count and carries a
+  ``batch['_sync_valid']`` float32 ``[rows]`` column — 1.0 for real
+  rows, 0.0 for padding and for batches synthesized by exhausted
+  replicas.
+* Metrics consume ``_sync_valid`` as example weights
+  (``Trainer.evaluate``), which makes global eval metrics bit-exact
+  under uneven final batches — the property the reference gets from
+  variable shapes (``metrics/auc.py:169``).
 """
 
 from __future__ import annotations
@@ -18,7 +28,7 @@ from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
-from hybridbackend_tpu.data.dataframe import Batch, Value
+from hybridbackend_tpu.data.dataframe import Batch, Value, num_rows
 from hybridbackend_tpu.framework.context import Context
 from hybridbackend_tpu.framework.options import OPTIONS
 
@@ -27,26 +37,50 @@ OPTIONS.register('data_sync_drop_remainder', True,
                  doc='Stop all replicas when ANY runs out (True) or only '
                      'when ALL run out (False).')
 
+#: Per-row validity column attached to every batch in non-drop mode.
+SYNC_VALID_KEY = '_sync_valid'
 
-def _global_flags(local_has_data: bool, ctx: Context) -> Tuple[bool, bool]:
-  """Returns (any_has_data, all_have_data) across processes."""
+
+def _global_state(local_has_data: bool, local_rows: int,
+                  ctx: Context) -> Tuple[bool, bool, int]:
+  """Returns (any_has_data, all_have_data, global_max_rows)."""
   if ctx.num_processes <= 1:
-    return local_has_data, local_has_data
-  import jax
+    return local_has_data, local_has_data, local_rows
   from jax.experimental import multihost_utils
   flags = multihost_utils.process_allgather(
-      np.asarray([local_has_data], np.int32))
-  return bool(flags.max()), bool(flags.min())
+      np.asarray([int(local_has_data), int(local_rows)], np.int32))
+  flags = np.asarray(flags).reshape(-1, 2)
+  return (bool(flags[:, 0].max()), bool(flags[:, 0].min()),
+          int(flags[:, 1].max()))
+
+
+def _pad_column(col, target: int):
+  """Extend a column to ``target`` rows with empty/zero padding rows."""
+  cur = num_rows(col)
+  if cur == target:
+    return col
+  extra = target - cur
+  if isinstance(col, Value):
+    splits = list(col.row_splits)
+    s0 = splits[0]
+    splits[0] = np.concatenate(
+        [s0, np.full((extra,), s0[-1], np.int64)])
+    return Value(col.values, splits)
+  arr = np.asarray(col)
+  pad = np.zeros((extra,) + arr.shape[1:], arr.dtype)
+  return np.concatenate([arr, pad])
 
 
 class SyncReplicasIterator:
   """Wraps a per-host batch iterator with replica-synchronized stopping.
 
   In ``drop_remainder`` mode (train default) iteration stops as soon as
-  any replica is exhausted. Otherwise (eval) it continues until every
-  replica is exhausted; dried-up replicas emit zero-filled batches with
-  all-False masks so globally-exact metrics ignore them (reference
-  semantics: ``sync_replicas_dataset.cc:109-213``).
+  any replica is exhausted; batches pass through untouched. Otherwise
+  (eval) it continues until every replica is exhausted; every batch is
+  padded to the step's global row count and carries a
+  ``_sync_valid`` weight column (see module docstring) so globally-exact
+  metrics ignore padding (reference semantics:
+  ``sync_replicas_dataset.cc:109-213``).
   """
 
   def __init__(self, iterator: Iterator[Batch],
@@ -62,19 +96,36 @@ class SyncReplicasIterator:
   def __iter__(self):
     return self
 
-  def _empty_like(self, template: Batch) -> Batch:
+  def _empty_like(self, template: Batch, target: int) -> Batch:
+    """A ``target``-row batch of the template's schema with no valid
+    rows: ragged columns get ``target`` empty rows, dense columns zero
+    rows (consistent shapes across hosts for the global assembly)."""
     out: Batch = {}
     for k, v in template.items():
+      if k == SYNC_VALID_KEY:
+        continue
       if isinstance(v, Value):
-        n = v.batch_size
-        out[k] = Value(np.zeros((0,) + v.values.shape[1:], v.values.dtype),
-                       [np.zeros(n + 1, np.int64)
-                        for _ in range(v.ragged_rank)])
+        splits = [np.zeros(target + 1, np.int64)]
+        splits += [np.zeros(1, np.int64) for _ in range(v.ragged_rank - 1)]
+        out[k] = Value(
+            np.zeros((0,) + v.values.shape[1:], v.values.dtype), splits)
       else:
         arr = np.asarray(v)
-        out[k] = np.zeros_like(arr)
-        if k.endswith('_mask'):
-          out[k] = np.zeros_like(arr, dtype=bool)
+        dtype = np.bool_ if k.endswith('_mask') else arr.dtype
+        out[k] = np.zeros((target,) + arr.shape[1:], dtype)
+    out[SYNC_VALID_KEY] = np.zeros((target,), np.float32)
+    return out
+
+  def _padded(self, batch: Batch, target: int) -> Batch:
+    rows = 0
+    for col in batch.values():
+      rows = num_rows(col)
+      break
+    out = {k: _pad_column(v, target) for k, v in batch.items()
+           if k != SYNC_VALID_KEY}
+    valid = np.zeros((target,), np.float32)
+    valid[:rows] = 1.0
+    out[SYNC_VALID_KEY] = valid
     return out
 
   def __next__(self) -> Batch:
@@ -84,19 +135,32 @@ class SyncReplicasIterator:
     except StopIteration:
       batch = None
       has_data = False
-    any_data, all_data = _global_flags(has_data, self._ctx)
     if self._drop_remainder:
+      any_data, all_data, _ = _global_state(has_data, 0, self._ctx)
       if not all_data:
         raise StopIteration
       return batch  # type: ignore[return-value]
+    rows = 0
+    if batch is not None:
+      for col in batch.values():
+        rows = num_rows(col)
+        break
+    any_data, _, target = _global_state(has_data, rows, self._ctx)
     if not any_data:
       raise StopIteration
     if batch is None:
       if self._template is None:
-        raise StopIteration  # never saw a batch; nothing to synthesize
-      return self._empty_like(self._template)
+        # Other replicas still have data but this one never produced a
+        # batch, so there is no schema to synthesize padding from; an
+        # empty worker partition cannot participate in the global
+        # assembly (the reference requires non-empty partitions too).
+        raise RuntimeError(
+            'SyncReplicasIterator: replica exhausted before producing '
+            'any batch while peers still have data; ensure every worker '
+            'partition is non-empty.')
+      return self._empty_like(self._template, target)
     self._template = batch
-    return batch
+    return self._padded(batch, target)
 
 
-__all__ = ['SyncReplicasIterator']
+__all__ = ['SyncReplicasIterator', 'SYNC_VALID_KEY']

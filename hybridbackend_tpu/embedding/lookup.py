@@ -72,7 +72,19 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
     u = _unique(flat_ids, capacity=cap, fill_value=0)
     with OPTIONS.override(emb_unique_ratio=1.0):
       emb_u = lookup(table, u.values, config, ctx=ctx, strategy=strategy)
-    out = jnp.take(emb_u, u.index, axis=0)
+      if flat_ids.shape[0] % ctx.world_size == 0:
+        # Capacity overflow would silently alias surplus uniques to slot
+        # cap-1 (the reference's tf.unique is always exact,
+        # sharding.py:186-189) — fall back to the exact non-deduped
+        # exchange when it trips. The predicate is a global scalar, so
+        # every device takes the same branch and the collectives inside
+        # stay uniform.
+        exact = lambda: lookup(table, flat_ids, config, ctx=ctx,
+                               strategy=strategy)
+        deduped = lambda: jnp.take(emb_u, u.index, axis=0)
+        out = jax.lax.cond(u.overflowed, exact, deduped)
+      else:
+        out = jnp.take(emb_u, u.index, axis=0)
     return out.reshape(*ids.shape, config.dim)
 
   rows = config.row_index(ids, ctx)

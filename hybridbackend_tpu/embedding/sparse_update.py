@@ -46,6 +46,28 @@ OPTIONS.register(
         'kernel default. The one-hot compare cost scales with '
         'block_rows while streaming overhead shrinks with it (1024 '
         'measured 12% faster than 2048 at 1M x 32 / 133k updates).')
+OPTIONS.register(
+    'emb_update_exchange', 'alltoall', env='HB_EMB_UPDATE_EXCHANGE',
+    doc="Gradient-return exchange for row-sharded tables: 'alltoall' "
+        "(default; bucketed owner-routed exchange — bytes per device "
+        '∝ its local batch, the TPU form of the reference reverse '
+        "alltoallv, collective.py:326-350) or 'allgather' (every "
+        'device receives the full [W*b, D] payload — W× the wire '
+        'bytes, only sensible for tiny batches).')
+OPTIONS.register(
+    'emb_update_bucket_ratio', 2.0, env='HB_EMB_UPDATE_BUCKET_RATIO',
+    doc='Capacity slack of the alltoall update exchange: per-peer bucket '
+        'capacity = ratio * ceil(local_batch / world) (rounded up to 8). '
+        'Balanced id mixing concentrates per-owner unique counts near '
+        'the mean, so 2.0 has huge headroom; overflow never corrupts — '
+        'see emb_update_overflow_fallback.')
+OPTIONS.register(
+    'emb_update_overflow_fallback', True,
+    env='HB_EMB_UPDATE_OVERFLOW_FALLBACK',
+    doc='When an alltoall update bucket overflows, re-route that step '
+        'through the lossless allgather exchange (a lax.cond on a '
+        'globally-uniform flag; both branches compile, only one runs). '
+        'Disabling drops overflow gradients — only for benchmarking.')
 
 
 def _use_stream(impl: str) -> bool:
@@ -54,6 +76,23 @@ def _use_stream(impl: str) -> bool:
   if impl == 'auto':
     return jax.default_backend() == 'tpu'
   return impl == 'stream'
+
+
+_WARNED_NODEDUP = False
+
+
+def _warn_nodedup_ignored():
+  """dedup=False has no effect on the stream kernel (it always combines
+  duplicates exactly inside its one-hot matmul); tell the caller once."""
+  global _WARNED_NODEDUP
+  if not _WARNED_NODEDUP:
+    _WARNED_NODEDUP = True
+    import logging
+    logging.getLogger('hybridbackend_tpu').warning(
+        'dedup=False requested but the stream update kernel is active '
+        '(emb_update_impl=%s): duplicates are always combined into exact '
+        "row totals; force emb_update_impl='xla' for TF per-occurrence "
+        'accumulation semantics.', OPTIONS['emb_update_impl'])
 
 
 def _stream_adagrad(table, acc, rows, g, lr, eps):
@@ -148,6 +187,8 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     impl: 'xla' | 'stream' | 'auto' (see option ``emb_update_impl``).
   """
   ctx = ctx or Context.get()
+  if not dedup and _use_stream(impl):
+    _warn_nodedup_ignored()
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
   acc = state.acc[0]
@@ -326,9 +367,12 @@ def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
   from hybridbackend_tpu.ops.pallas.scatter import adam_update_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
+  kwargs = {}
+  if OPTIONS['emb_update_block_rows']:
+    kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   return adam_update_sorted(table, m, v, rows[order], g[order],
                             lr=lr, step=step, b1=float(b1), b2=float(b2),
-                            eps=float(eps), interpret=interpret)
+                            eps=float(eps), interpret=interpret, **kwargs)
 
 
 def init_adam_state(table: jax.Array) -> SparseOptState:

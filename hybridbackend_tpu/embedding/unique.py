@@ -27,10 +27,17 @@ class UniqueResult(NamedTuple):
     index: ``[n]`` int32 such that ``values[index] == ids``
       (same contract as ``tf.unique``'s ``idx``).
     count: scalar int32 number of valid entries in ``values``.
+    overflowed: scalar bool — the TRUE unique count exceeded
+      ``capacity`` (surplus uniques alias slot ``capacity - 1``, so
+      ``values[index]`` is NOT exact). Callers with a reduced capacity
+      must branch on this (see ``lookup``'s exact fallback) — the
+      reference's ``tf.unique`` is always exact
+      (``sharding.py:186-189``), so silent aliasing is never acceptable.
   """
   values: jax.Array
   index: jax.Array
   count: jax.Array
+  overflowed: jax.Array
 
 
 def unique(ids: jax.Array, capacity: Optional[int] = None,
@@ -38,8 +45,9 @@ def unique(ids: jax.Array, capacity: Optional[int] = None,
   """Sort-based unique with static output shape.
 
   When the true unique count exceeds ``capacity``, surplus uniques alias
-  slot ``capacity - 1`` (results become approximate); callers that cannot
-  bound the unique count must use ``capacity = n``, which is exact.
+  slot ``capacity - 1`` and ``overflowed`` is set; callers that cannot
+  bound the unique count must use ``capacity = n`` (always exact) or
+  consume ``overflowed`` and fall back.
   """
   n = ids.shape[0]
   if capacity is None:
@@ -56,7 +64,8 @@ def unique(ids: jax.Array, capacity: Optional[int] = None,
   values = jnp.full((capacity,), fill_value, ids.dtype)
   values = values.at[uidx_c].set(sorted_ids, mode='drop')
   index = jnp.zeros((n,), jnp.int32).at[order].set(uidx_c)
-  return UniqueResult(values, index, jnp.minimum(count, capacity))
+  return UniqueResult(values, index, jnp.minimum(count, capacity),
+                      count > capacity)
 
 
 __all__ = ['UniqueResult', 'unique']

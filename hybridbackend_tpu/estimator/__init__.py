@@ -148,7 +148,19 @@ class Trainer:
                prefetch: bool = True) -> Dict[str, float]:
     """Full-pass evaluation with globally exact metrics (AUC, loss mean,
     and GAUC when ``group_key`` is set). Reference: separate eval graph
-    over the same variables (``evaluation.py:111-327``)."""
+    over the same variables (``evaluation.py:111-327``).
+
+    Exactness under uneven final batches: ``SyncReplicasIterator``
+    (non-drop) pads every batch to a replica-consistent row count and
+    attaches a ``_sync_valid`` weight column; every metric here consumes
+    it as example weights, so padding rows contribute nothing — the
+    result is bit-equal to a single-host pass over the concatenated
+    data (reference contract: ``sync_replicas_dataset.cc:109-213`` +
+    ``metrics/auc.py:169``). For an exact *loss* mean the loss function
+    should either return ``aux['per_example_loss']`` (preferred) or
+    itself weight by ``batch['_sync_valid']`` when present.
+    """
+    from hybridbackend_tpu.data.sync import SYNC_VALID_KEY
     it: Iterator = iter(batches)
     it = SyncReplicasIterator(it, drop_remainder=False, ctx=self._ctx)
     if prefetch:
@@ -161,15 +173,32 @@ class Trainer:
       labels = batch[self._label_key]
       if labels.shape[0] == 0:
         continue
+      valid = batch.get(SYNC_VALID_KEY)
       loss, aux = self._eval_fn(self.params, batch)
       preds = aux['preds']
-      auc_s = hbm.auc_update(auc_s, labels, preds)
-      loss_s = hbm.mean_update(loss_s, loss[None],
-                               jnp.asarray([labels.shape[0]], jnp.float32))
+      auc_s = hbm.auc_update(auc_s, labels, preds, weights=valid)
+      if 'per_example_loss' in aux:
+        loss_s = hbm.mean_update(loss_s, aux['per_example_loss'], valid)
+      elif valid is None:
+        loss_s = hbm.mean_update(loss_s, loss[None],
+                                 jnp.asarray([labels.shape[0]],
+                                             jnp.float32))
+      else:
+        # Scalar-loss fallback: weight by the valid count. Exact when
+        # the loss fn masks by batch['_sync_valid'] (see docstring).
+        loss_s = hbm.mean_update(loss_s, loss[None],
+                                 jnp.sum(valid)[None])
       if self._group_key is not None:
+        ind = batch[self._group_key]
+        if valid is not None:
+          # Padding rows must not merge into a real group: give them a
+          # sentinel indicator below every real one — their group is
+          # all-negative (labels are zero) and gauc skips it. Signed
+          # cast so the sentinel cannot wrap into a real id.
+          ind = ind.astype(jnp.int64)
+          ind = jnp.where(valid > 0, ind, jnp.min(ind) - 1)
         # sort_groups: eval batches are not guaranteed group-contiguous.
-        gauc_s = hbm.gauc_update(gauc_s, labels, preds,
-                                 batch[self._group_key],
+        gauc_s = hbm.gauc_update(gauc_s, labels, preds, ind,
                                  sort_groups=True)
       n += 1
     out = {

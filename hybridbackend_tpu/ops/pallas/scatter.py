@@ -17,8 +17,9 @@ from the sort and block ownership instead.
 Layout contract:
   * ``rows`` are int32, sorted ascending; invalid entries are ``-1``
     (skipped) or ``>= vocab`` (must sort to the end, consumed by no
-    block). Duplicates allowed — applied sequentially (exact for add;
-    TF-sequential semantics for adagrad).
+    block). Duplicates allowed — combined into per-row TOTALS by the
+    one-hot matmul (exact for add; exact-total Adagrad semantics: the
+    accumulator sees the squared row total, not per-occurrence squares).
   * ``vocab % block_rows == 0`` and ``len(rows) % chunk == 0`` — callers
     pad (see :func:`pad_updates`).
 """
@@ -336,7 +337,7 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                        lr, step, b1: float = 0.9, b2: float = 0.999,
                        eps: float = 1e-8,
                        block_ids: Optional[jax.Array] = None,
-                       block_rows: int = 1024,
+                       block_rows: int = _BLOCK_ROWS,
                        chunk: int = _CHUNK,
                        precision: str = 'highest',
                        interpret: bool = False

@@ -247,11 +247,61 @@ class TestSyncReplicas:
     batches = [{'x': np.arange(4)} for _ in range(3)]
     out = list(SyncReplicasIterator(iter(batches), drop_remainder=True))
     assert len(out) == 3
+    assert '_sync_valid' not in out[0]  # drop mode: untouched batches
 
-  def test_non_drop_exhausts(self):
-    batches = [{'x': np.arange(4)} for _ in range(2)]
+  def test_non_drop_attaches_valid_weights(self):
+    batches = [{'x': np.arange(4)}, {'x': np.arange(4)}]
     out = list(SyncReplicasIterator(iter(batches), drop_remainder=False))
     assert len(out) == 2
+    for b in out:
+      np.testing.assert_array_equal(b['_sync_valid'], np.ones(4))
+
+  def test_padded_partial_batch(self):
+    """Padding a short batch extends dense columns with zero rows and
+    ragged columns with empty rows; _sync_valid marks the real rows."""
+    it = SyncReplicasIterator(iter(()), drop_remainder=False)
+    batch = {
+        'x': np.arange(3, dtype=np.float32),
+        'm_mask': np.ones((3, 2), bool),
+        'hist': Value(np.arange(4), [np.array([0, 2, 4, 4])]),
+    }
+    out = it._padded(batch, 5)
+    np.testing.assert_array_equal(out['_sync_valid'], [1, 1, 1, 0, 0])
+    assert out['x'].shape == (5,)
+    assert out['x'][3] == 0 and out['x'][4] == 0
+    assert out['m_mask'].shape == (5, 2)
+    assert out['hist'].batch_size == 5
+    assert out['hist'].to_list()[3] == [] and out['hist'].to_list()[4] == []
+    # real ragged rows untouched
+    assert [list(r) for r in out['hist'].to_list()[:3]] == [[0, 1], [2, 3], []]
+
+  def test_empty_like_schema(self):
+    """A dried replica synthesizes a full-shape batch with zero valid
+    rows — ragged columns get N empty rows (nested splits consistent)."""
+    it = SyncReplicasIterator(iter(()), drop_remainder=False)
+    template = {
+        'x': np.ones((4, 3), np.float32),
+        'm_mask': np.ones((4, 2), np.float32),  # masks re-typed to bool
+        'hist': Value(np.arange(6),
+                      [np.array([0, 2, 4, 6]), np.array([0, 1, 2, 3, 4, 5, 6])]),
+        '_sync_valid': np.ones(4, np.float32),
+    }
+    out = it._empty_like(template, 6)
+    np.testing.assert_array_equal(out['_sync_valid'], np.zeros(6))
+    assert out['x'].shape == (6, 3)
+    assert out['m_mask'].dtype == np.bool_
+    assert out['hist'].batch_size == 6
+    assert len(out['hist'].row_splits) == 2
+    assert out['hist'].row_splits[1].tolist() == [0]
+    assert out['hist'].values.shape[0] == 0
+
+  def test_non_drop_single_host_partial_batch_keeps_rows(self):
+    """Single host: no peers to match, so the partial tail passes with
+    all-valid weights at its own size."""
+    batches = [{'x': np.arange(4)}, {'x': np.arange(2)}]
+    out = list(SyncReplicasIterator(iter(batches), drop_remainder=False))
+    assert out[1]['x'].shape == (2,)
+    np.testing.assert_array_equal(out[1]['_sync_valid'], np.ones(2))
 
 
 class TestDeviceIterator:

@@ -204,3 +204,30 @@ def test_unique_ratio_dedup_before_exchange():
                     strategy='allgather').sum()
   g = np.asarray(jax.grad(loss)(tbl))
   assert set(np.nonzero(np.abs(g).sum(-1))[0].tolist()) == set(ids.tolist())
+
+
+def test_unique_ratio_overflow_falls_back_exact():
+  """unique-count > capacity must NOT silently alias (the reference's
+  tf.unique is always exact, sharding.py:186-189): the lookup detects
+  overflow via UniqueResult.overflowed and takes the exact branch."""
+  import hybridbackend_tpu as hb
+  from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
+  ctx = hb.Context.get()
+  cfg = TableConfig('uo', 512, 8)
+  tbl = create_table(cfg, jax.random.PRNGKey(1), ctx)
+  host = np.asarray(tbl)
+  rng = np.random.RandomState(7)
+  ids = rng.permutation(512)[:128].astype(np.int32)  # 128 uniques > cap 32
+  for strategy in ('allgather', 'alltoall'):
+    with hb.scope(emb_unique_ratio=0.25):
+      got = np.asarray(lookup(tbl, jnp.asarray(ids), cfg, ctx=ctx,
+                              strategy=strategy))
+    np.testing.assert_allclose(got, host[ids], atol=1e-5)
+
+  # Gradients flow exactly through the fallback branch too.
+  def loss(t):
+    with hb.scope(emb_unique_ratio=0.25):
+      return lookup(t, jnp.asarray(ids), cfg, ctx=ctx,
+                    strategy='allgather').sum()
+  g = np.asarray(jax.grad(loss)(tbl))
+  assert set(np.nonzero(np.abs(g).sum(-1))[0].tolist()) == set(ids.tolist())

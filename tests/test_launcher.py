@@ -131,3 +131,84 @@ def test_multiprocess_sparse_training(tmp_path):
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
   assert out.stdout.count('CHILD_TRAIN_OK') == 2, out.stdout
+
+
+EVAL_EXACT_SCRIPT = """
+import jax
+import jax.numpy as jnp
+import numpy as np
+import hybridbackend_tpu as hb
+import hybridbackend_tpu.metrics as hbm
+from hybridbackend_tpu.estimator import Trainer
+
+ctx = hb.Context.get()
+assert jax.process_count() == 2
+rank = jax.process_index()
+
+# Deterministic uneven partitions: p0 has 3 full batches of 8; p1 has one
+# full batch, one PARTIAL batch of 5, then is exhausted (2 steps early in
+# row terms). Every process can reconstruct the full dataset.
+def proc_batches(p):
+    rng = np.random.RandomState(100 + p)
+    n = 24 if p == 0 else 13
+    x = rng.rand(n, 4).astype(np.float32)
+    y = (x.sum(1) > 2.0).astype(np.float32)
+    g = (x[:, 0] * 4).astype(np.int64)  # group ids incl. 0 (sentinel check)
+    return x, y, g
+
+def batches_iter(p):
+    x, y, g = proc_batches(p)
+    for i in range(0, len(x), 8):
+        yield {'x': x[i:i+8], 'label': y[i:i+8], 'g': g[i:i+8]}
+
+w = jnp.asarray([0.9, -0.4, 0.3, 0.7], jnp.float32)
+
+def loss_fn(params, batch):
+    logits = batch['x'] @ params
+    preds = jax.nn.sigmoid(logits)
+    p = jnp.clip(preds, 1e-6, 1 - 1e-6)
+    y = batch['label']
+    pel = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+    return jnp.mean(pel), {'preds': preds, 'per_example_loss': pel}
+
+trainer = Trainer(loss_fn, w, label_key='label', group_key='g')
+got = trainer.evaluate(batches_iter(rank))
+
+# Single-host reference over the concatenated data (no sync, no padding).
+x0, y0, g0 = proc_batches(0)
+x1, y1, g1 = proc_batches(1)
+X = jnp.asarray(np.concatenate([x0, x1]))
+Y = jnp.asarray(np.concatenate([y0, y1]))
+G = jnp.asarray(np.concatenate([g0, g1]))
+P = jax.nn.sigmoid(X @ w)
+ref_auc = float(hbm.auc_result(hbm.auc_update(hbm.auc_init(), Y, P)))
+pc = jnp.clip(P, 1e-6, 1 - 1e-6)
+pel = -(Y * jnp.log(pc) + (1 - Y) * jnp.log(1 - pc))
+ref_loss = float(jnp.mean(pel))
+ref_gauc = float(hbm.gauc_result(hbm.gauc_update(
+    hbm.gauc_init(), Y, P, G, sort_groups=True)))
+
+assert abs(got['auc'] - ref_auc) < 1e-5, (got['auc'], ref_auc)
+assert abs(got['loss'] - ref_loss) < 1e-5, (got['loss'], ref_loss)
+assert abs(got['gauc'] - ref_gauc) < 1e-5, (got['gauc'], ref_gauc)
+print('CHILD_EVAL_OK rank', rank, round(got['auc'], 6), round(ref_auc, 6))
+"""
+
+
+@pytest.mark.timeout(600)
+def test_multiprocess_eval_exact_uneven_tail(tmp_path):
+  """SURVEY hard-part #6: one of two hosts exhausts early (and its last
+  batch is partial); global eval AUC/loss/GAUC must equal a single-host
+  pass over the concatenated data. Exercises SyncReplicas pad+weights,
+  the _sync_valid metric plumbing, and the GAUC padding sentinel."""
+  script = tmp_path / 'eval2p.py'
+  script.write_text(EVAL_EXACT_SCRIPT)
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)
+  out = subprocess.run(
+      [sys.executable, '-m', 'hybridbackend_tpu.run',
+       '--simulate', '2', '--devices-per-process', '2', str(script)],
+      env=env, capture_output=True, text=True, timeout=580,
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+  assert out.stdout.count('CHILD_EVAL_OK') == 2, out.stdout

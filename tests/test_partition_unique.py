@@ -101,5 +101,12 @@ class TestUnique:
   def test_capacity_smaller(self):
     ids = jnp.asarray([1, 2, 3, 4], dtype=jnp.int32)
     res = unique(ids, capacity=2)
-    # Approximate: overflow uniques alias the last slot; count clamped.
+    # Approximate: overflow uniques alias the last slot; count clamped —
+    # and the overflow is SIGNALLED so callers can fall back.
     assert int(res.count) == 2
+    assert bool(res.overflowed)
+
+  def test_overflow_flag_clear_when_exact(self):
+    ids = jnp.asarray([1, 1, 2, 2], dtype=jnp.int32)
+    assert not bool(unique(ids, capacity=2).overflowed)
+    assert not bool(unique(ids).overflowed)
