@@ -185,8 +185,17 @@ ref_auc = float(hbm.auc_result(hbm.auc_update(hbm.auc_init(), Y, P)))
 pc = jnp.clip(P, 1e-6, 1 - 1e-6)
 pel = -(Y * jnp.log(pc) + (1 - Y) * jnp.log(1 - pc))
 ref_loss = float(jnp.mean(pel))
-ref_gauc = float(hbm.gauc_result(hbm.gauc_update(
-    hbm.gauc_init(), Y, P, G, sort_groups=True)))
+# GAUC is a batch-wise metric (groups split at batch boundaries, like the
+# reference gauc.cc) — accumulate it over the REAL rows of each global
+# step batch: step i sees p0[8i:8i+8] then p1[8i:8i+8] in device order.
+gauc_s = hbm.gauc_init()
+for i in range(3):
+    rows = [np.arange(8 * i, min(8 * (i + 1), 24)),
+            24 + np.arange(8 * i, min(8 * (i + 1), 13))]
+    sel = np.concatenate([r for r in rows if len(r)])
+    gauc_s = hbm.gauc_update(gauc_s, Y[sel], P[sel], G[sel],
+                             sort_groups=True)
+ref_gauc = float(hbm.gauc_result(gauc_s))
 
 assert abs(got['auc'] - ref_auc) < 1e-5, (got['auc'], ref_auc)
 assert abs(got['loss'] - ref_loss) < 1e-5, (got['loss'], ref_loss)
