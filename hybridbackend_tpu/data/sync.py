@@ -148,6 +148,11 @@ class SyncReplicasIterator:
     any_data, _, target = _global_state(has_data, rows, self._ctx)
     if not any_data:
       raise StopIteration
+    # The assembled global batch must divide the mesh's data axis:
+    # round the agreed row count up to a multiple of the per-process
+    # device count (padding rows carry zero weight anyway).
+    lcl = max(1, self._ctx.world_size // self._ctx.num_processes)
+    target = -(-target // lcl) * lcl
     if batch is None:
       if self._template is None:
         # Other replicas still have data but this one never produced a

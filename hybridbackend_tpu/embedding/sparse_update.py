@@ -57,7 +57,7 @@ OPTIONS.register(
 OPTIONS.register(
     'emb_update_bucket_ratio', 2.0, env='HB_EMB_UPDATE_BUCKET_RATIO',
     doc='Capacity slack of the alltoall update exchange: per-peer bucket '
-        'capacity = ratio * ceil(local_batch / world) (rounded up to 8). '
+        'capacity = ratio * ceil(local_batch / world). '
         'Balanced id mixing concentrates per-owner unique counts near '
         'the mean, so 2.0 has huge headroom; overflow never corrupts — '
         'see emb_update_overflow_fallback.')
@@ -112,6 +112,187 @@ def _stream_adagrad(table, acc, rows, g, lr, eps):
 class SparseOptState(NamedTuple):
   """Per-table slot state (Adagrad accumulator; empty tuple for SGD)."""
   acc: Tuple[jax.Array, ...]
+
+
+# ---------------------------------------------------------------------------
+# Gradient-return exchange for row-sharded tables.
+#
+# The reference returns sparse gradients to owner shards with a REVERSE
+# alltoallv — bytes ∝ the local batch (collective.py:326-350,
+# sharding.py:171-205). The TPU-native form below: locally combine
+# duplicate rows, bucket (row, grad-total) pairs by owner shard with a
+# static capacity, exchange via all_to_all_v_t, and let the owner apply
+# the update. The legacy allgather route ships the full [W*b, D] payload
+# to every device (W x the wire bytes) and remains as the lossless
+# fallback when a bucket overflows.
+# ---------------------------------------------------------------------------
+
+
+def _local_combine(rows: jax.Array, g: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+  """Sum duplicate rows' grads locally (exact row-total semantics).
+
+  Returns ``(urows [n], gsum [n, D])``: unique rows in ascending order in
+  a prefix, ``-1`` in unused lanes. Invalid input rows (``< 0``) collapse
+  into the ``-1`` lane, which the owner-side update drops.
+  """
+  n, d = g.shape
+  order = jnp.argsort(rows)
+  srows = rows[order]
+  sg = g[order]
+  is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                              srows[1:] != srows[:-1]])
+  slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+  gsum = jnp.zeros((n, d), g.dtype).at[slot].add(sg)
+  urows = jnp.full((n,), -1, rows.dtype).at[slot].set(srows)
+  return urows, gsum
+
+
+def _bucket_by_owner(urows: jax.Array, gsum: jax.Array, world: int,
+                     rows_per_shard: int, cap: int):
+  """Bucket (row, grad) pairs by owner shard with static capacity.
+
+  Returns ``(id_buckets [W, cap], g_buckets [W, cap, D], sizes [W],
+  overflow)``; padding lanes carry row ``-1`` / zero grads. Rows outside
+  ``[0, W*rows_per_shard)`` are discarded (they own no shard — same
+  contract as the lookup strategies).
+  """
+  n, d = gsum.shape
+  vocab = world * rows_per_shard
+  shard = jnp.where((urows >= 0) & (urows < vocab),
+                    (urows // rows_per_shard).astype(jnp.int32),
+                    jnp.int32(world))                  # world = discard
+  order = jnp.argsort(shard, stable=True)
+  s_shard = shard[order]
+  s_rows = urows[order]
+  s_g = gsum[order]
+  counts = jnp.bincount(shard, length=world + 1).astype(jnp.int32)
+  starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+  pos = jnp.arange(n, dtype=jnp.int32) - starts[s_shard]
+  ok = (pos < cap) & (s_shard < world)
+  flat = jnp.where(ok, s_shard * cap + pos, world * cap)   # oob -> dropped
+  id_buckets = jnp.full((world * cap,), -1, urows.dtype)
+  id_buckets = id_buckets.at[flat].set(
+      jnp.where(ok, s_rows, -1), mode='drop')
+  g_buckets = jnp.zeros((world * cap, d), gsum.dtype)
+  g_buckets = g_buckets.at[flat].set(
+      jnp.where(ok[:, None], s_g, 0), mode='drop')
+  overflow = jnp.any(counts[:world] > cap)
+  sizes = jnp.minimum(counts[:world], cap)
+  return (id_buckets.reshape(world, cap),
+          g_buckets.reshape(world, cap, d), sizes, overflow)
+
+
+def _grad_wire():
+  w = OPTIONS['comm_gradient_wire_dtype']
+  return None if w in ('float32', '', None) else jnp.dtype(w)
+
+
+def _update_bucket_cap(n_local: int, world: int) -> int:
+  ratio = float(OPTIONS['emb_update_bucket_ratio'])
+  import math
+  cap = int(math.ceil(ratio * math.ceil(n_local / world)))
+  return max(1, min(n_local, cap))
+
+
+def _route_grads_a2a(rows_local, g_local, *, axes, world, rows_per_shard,
+                     cap, combine=True):
+  """In-spmd: route local (row, grad) pairs to their owner shards.
+
+  Returns ``(local_rows [W*cap] with -1 invalid lanes,
+  grads [W*cap, D], overflow flag)`` — the owner-relative row ids and
+  per-row grad totals this shard must apply. ``combine=False`` ships
+  per-occurrence pairs uncombined (TF nodedup semantics need every
+  occurrence's grad at the owner).
+  """
+  from hybridbackend_tpu.distribute.collective import all_to_all_v_t
+  if combine:
+    urows, gsum = _local_combine(rows_local, g_local)
+  else:
+    urows, gsum = rows_local, g_local
+  idb, gb, sizes, ovf = _bucket_by_owner(urows, gsum, world,
+                                         rows_per_shard, cap)
+  recv_ids, _ = all_to_all_v_t(idb, sizes, axes)
+  recv_g, _ = all_to_all_v_t(gb, sizes, axes, wire_dtype=_grad_wire())
+  me = axis_index_t(axes)
+  local = jnp.where(recv_ids >= 0, recv_ids - me * rows_per_shard, -1)
+  d = g_local.shape[1]
+  return (local.reshape(-1),
+          recv_g.astype(g_local.dtype).reshape(-1, d), ovf)
+
+
+def _route_grads_allgather(rows_local, g_local, *, axes, world,
+                           rows_per_shard):
+  """In-spmd: legacy full-payload route — every device receives the
+  whole ``[W*b, D]`` gradient and masks to its owned rows."""
+  me = axis_index_t(axes)
+  all_ids = jax.lax.all_gather(rows_local, axes, tiled=True)    # [W*b]
+  all_g = jax.lax.all_gather(g_local, axes, tiled=True)         # [W*b, D]
+  owner = all_ids // rows_per_shard
+  mine = (owner == me) & (all_ids >= 0)
+  local = jnp.where(mine, all_ids - me * rows_per_shard, -1)
+  return local, jnp.where(mine[:, None], all_g, 0)
+
+
+def _rowsharded_update(table, slots, rows_b, demb, apply_local, *,
+                       ctx: Context, combine: bool = True):
+  """Shared row-sharded update driver: route grads to owners, apply.
+
+  Args:
+    slots: tuple of slot-state arrays co-sharded with ``table``.
+    apply_local: ``(shard, slot_shards, local_rows, grads) ->
+      (shard', slot_shards')`` where ``local_rows`` uses ``-1`` for
+      invalid lanes. Runs inside shard_map on owner shards.
+    combine: pre-sum duplicate rows' grads before the exchange (exact
+      for row-total semantics; must be False for TF per-occurrence
+      nodedup semantics).
+  """
+  axes = ctx.data_axes
+  world = ctx.world_size
+  rows_per_shard = table.shape[0] // world
+  exchange = OPTIONS['emb_update_exchange']
+  fallback = bool(OPTIONS['emb_update_overflow_fallback'])
+  n_local = rows_b.shape[0] // world
+  cap = _update_bucket_cap(n_local, world)
+
+  def body(shard, slot_shards, ids_local, demb_local):
+    if exchange == 'alltoall':
+      local, g, ovf = _route_grads_a2a(
+          ids_local, demb_local, axes=axes, world=world,
+          rows_per_shard=rows_per_shard, cap=cap, combine=combine)
+      if not fallback:
+        return apply_local(shard, slot_shards, local, g)
+      # Globally-uniform overflow predicate: every device takes the
+      # same branch, so the collectives inside stay uniform.
+      pred = jax.lax.psum(ovf.astype(jnp.int32), axes) > 0
+
+      def via_allgather(args):
+        shard_, slots_ = args
+        l2, g2 = _route_grads_allgather(
+            ids_local, demb_local, axes=axes, world=world,
+            rows_per_shard=rows_per_shard)
+        return apply_local(shard_, slots_, l2, g2)
+
+      def via_a2a(args):
+        shard_, slots_ = args
+        return apply_local(shard_, slots_, local, g)
+
+      return jax.lax.cond(pred, via_allgather, via_a2a,
+                          (shard, slot_shards))
+    local, g = _route_grads_allgather(
+        ids_local, demb_local, axes=axes, world=world,
+        rows_per_shard=rows_per_shard)
+    return apply_local(shard, slot_shards, local, g)
+
+  nslots = len(slots)
+  fn = jax.shard_map(
+      body, mesh=ctx.mesh,
+      in_specs=(P(axes, None), (P(axes, None),) * nslots,
+                P(axes), P(axes, None)),
+      out_specs=(P(axes, None), (P(axes, None),) * nslots),
+      check_vma=False)
+  return fn(table, tuple(slots), rows_b, demb)
 
 
 def init_adagrad_state(table: jax.Array,
@@ -243,39 +424,27 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     table, acc = fn(table, acc, rows_b, demb)
     return table, SparseOptState(acc=(acc,))
 
-  world = ctx.world_size
-  vocab = config.padded_vocab(ctx)
-  rows_per_shard = vocab // world
+  rows_per_shard = config.padded_vocab(ctx) // ctx.world_size
 
-  def body(shard, acc_shard, ids_local, demb_local):
-    me = axis_index_t(axes)
-    all_ids = jax.lax.all_gather(ids_local, axes, tiled=True)    # [W*b]
-    all_demb = jax.lax.all_gather(demb_local, axes, tiled=True)  # [W*b, D]
-    owner = all_ids // rows_per_shard
-    local = all_ids - me * rows_per_shard
-    mine = (owner == me)
-    # Route non-owned ids out of range so the scatter drops them.
-    local = jnp.where(mine, local, rows_per_shard)
+  def apply_local(shard, slot_shards, local, g):
+    (acc_shard,) = slot_shards
     if _use_stream(impl):
-      # Stream kernel drops out-of-range rows itself; use -1 so the
-      # non-owned ids sort to the front, away from the valid tail.
-      local = jnp.where(mine, local, -1)
-      return _stream_adagrad(shard, acc_shard, local,
-                             jnp.where(mine[:, None], all_demb, 0),
-                             lr, eps)
-    if not dedup:
-      return _adagrad_rows_nodedup(
-          shard, acc_shard, local, jnp.where(mine[:, None], all_demb, 0),
-          lr, eps, oob_row=rows_per_shard)
-    rows, gsum = _dedup_grads(local, jnp.where(mine[:, None], all_demb, 0),
-                              oob_row=rows_per_shard)
-    return _adagrad_rows(shard, acc_shard, rows, gsum, lr, eps)
+      # Stream kernel drops -1 rows itself (they sort to the front,
+      # away from the valid tail).
+      t, a = _stream_adagrad(shard, acc_shard, local, g, lr, eps)
+      return t, (a,)
+    safe = jnp.where(local >= 0, local, rows_per_shard)   # oob -> dropped
+    if dedup:
+      rows, gsum = _dedup_grads(safe, g, oob_row=rows_per_shard)
+      t, a = _adagrad_rows(shard, acc_shard, rows, gsum, lr, eps)
+    else:
+      t, a = _adagrad_rows_nodedup(shard, acc_shard, safe, g, lr, eps,
+                                   oob_row=rows_per_shard)
+    return t, (a,)
 
-  fn = jax.shard_map(
-      body, mesh=ctx.mesh,
-      in_specs=(P(axes, None), P(axes, None), P(axes), P(axes, None)),
-      out_specs=(P(axes, None), P(axes, None)), check_vma=False)
-  table, acc = fn(table, acc, rows_b, demb)
+  table, (acc,) = _rowsharded_update(
+      table, (acc,), rows_b, demb, apply_local, ctx=ctx,
+      combine=dedup or _use_stream(impl))
   return table, SparseOptState(acc=(acc,))
 
 
@@ -315,30 +484,18 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
     safe = jnp.where((rows_b >= 0) & (rows_b < oob), rows_b, oob)
     return table.at[safe].add(-lr * demb, mode='drop')
 
-  world = ctx.world_size
-  rows_per_shard = config.padded_vocab(ctx) // world
-  axes = ctx.data_axes
+  rows_per_shard = config.padded_vocab(ctx) // ctx.world_size
 
-  def body(shard, ids_local, demb_local):
-    me = axis_index_t(axes)
-    all_ids = jax.lax.all_gather(ids_local, axes, tiled=True)
-    all_demb = jax.lax.all_gather(demb_local, axes, tiled=True)
-    owner = all_ids // rows_per_shard
-    mine = (owner == me)
+  def apply_local(shard, slot_shards, local, g):
+    del slot_shards
     if _use_stream(impl):
-      local = jnp.where(mine, all_ids - me * rows_per_shard, -1)
-      return _stream_sgd(shard, local,
-                         jnp.where(mine[:, None], all_demb, 0), lr)
-    local = jnp.where(mine, all_ids - me * rows_per_shard,
-                      rows_per_shard)
-    return _sgd_rows(shard, local,
-                     jnp.where(mine[:, None], all_demb, 0), lr)
+      return _stream_sgd(shard, local, g, lr), ()
+    safe = jnp.where(local >= 0, local, rows_per_shard)
+    return _sgd_rows(shard, safe, g, lr), ()
 
-  fn = jax.shard_map(
-      body, mesh=ctx.mesh,
-      in_specs=(P(axes, None), P(axes), P(axes, None)),
-      out_specs=P(axes, None), check_vma=False)
-  return fn(table, rows_b, demb)
+  table, _ = _rowsharded_update(table, (), rows_b, demb, apply_local,
+                                ctx=ctx)
+  return table
 
 
 __all__ = ['SparseOptState', 'init_adagrad_state', 'init_adam_state',
@@ -446,29 +603,20 @@ def sparse_adam_apply(table: jax.Array, state: SparseOptState,
     table, m, v = fn(table, m, v, rows_b, demb)
     return table, SparseOptState(acc=(m, v))
 
-  world = ctx.world_size
-  rows_per_shard = config.padded_vocab(ctx) // world
+  rows_per_shard = config.padded_vocab(ctx) // ctx.world_size
 
-  def body(shard, m_s, v_s, ids_local, demb_local):
-    me = axis_index_t(axes)
-    all_ids = jax.lax.all_gather(ids_local, axes, tiled=True)
-    all_demb = jax.lax.all_gather(demb_local, axes, tiled=True)
-    owner = all_ids // rows_per_shard
-    mine = (owner == me)
-    g = jnp.where(mine[:, None], all_demb, 0)
+  def apply_local(shard, slot_shards, local, g):
+    m_s, v_s = slot_shards
     if _use_stream(impl):
-      local = jnp.where(mine, all_ids - me * rows_per_shard, -1)
-      return _stream_adam(shard, m_s, v_s, local, g, lr, step,
-                          b1, b2, eps)
-    local = jnp.where(mine, all_ids - me * rows_per_shard,
-                      rows_per_shard)
-    rows, gsum = _dedup_grads(local, g, oob_row=rows_per_shard)
-    return _adam_rows(shard, m_s, v_s, rows, gsum, lr, step, b1, b2, eps)
+      t, m2, v2 = _stream_adam(shard, m_s, v_s, local, g, lr, step,
+                               b1, b2, eps)
+      return t, (m2, v2)
+    safe = jnp.where(local >= 0, local, rows_per_shard)
+    rows, gsum = _dedup_grads(safe, g, oob_row=rows_per_shard)
+    t, m2, v2 = _adam_rows(shard, m_s, v_s, rows, gsum, lr, step,
+                           b1, b2, eps)
+    return t, (m2, v2)
 
-  fn = jax.shard_map(
-      body, mesh=ctx.mesh,
-      in_specs=(P(axes, None), P(axes, None), P(axes, None),
-                P(axes), P(axes, None)),
-      out_specs=(P(axes, None),) * 3, check_vma=False)
-  table, m, v = fn(table, m, v, rows_b, demb)
+  table, (m, v) = _rowsharded_update(table, (m, v), rows_b, demb,
+                                     apply_local, ctx=ctx)
   return table, SparseOptState(acc=(m, v))

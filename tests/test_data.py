@@ -250,11 +250,11 @@ class TestSyncReplicas:
     assert '_sync_valid' not in out[0]  # drop mode: untouched batches
 
   def test_non_drop_attaches_valid_weights(self):
-    batches = [{'x': np.arange(4)}, {'x': np.arange(4)}]
+    batches = [{'x': np.arange(8)}, {'x': np.arange(8)}]
     out = list(SyncReplicasIterator(iter(batches), drop_remainder=False))
     assert len(out) == 2
     for b in out:
-      np.testing.assert_array_equal(b['_sync_valid'], np.ones(4))
+      np.testing.assert_array_equal(b['_sync_valid'], np.ones(8))
 
   def test_padded_partial_batch(self):
     """Padding a short batch extends dense columns with zero rows and
@@ -295,13 +295,15 @@ class TestSyncReplicas:
     assert out['hist'].row_splits[1].tolist() == [0]
     assert out['hist'].values.shape[0] == 0
 
-  def test_non_drop_single_host_partial_batch_keeps_rows(self):
-    """Single host: no peers to match, so the partial tail passes with
-    all-valid weights at its own size."""
-    batches = [{'x': np.arange(4)}, {'x': np.arange(2)}]
+  def test_non_drop_single_host_partial_batch_pads_to_devices(self):
+    """The partial tail is padded up to a multiple of the per-process
+    device count (8 on the test mesh) so the global batch divides the
+    mesh's data axis; padding rows carry zero weight."""
+    batches = [{'x': np.arange(8)}, {'x': np.arange(2)}]
     out = list(SyncReplicasIterator(iter(batches), drop_remainder=False))
-    assert out[1]['x'].shape == (2,)
-    np.testing.assert_array_equal(out[1]['_sync_valid'], np.ones(2))
+    assert out[1]['x'].shape == (8,)
+    np.testing.assert_array_equal(
+        out[1]['_sync_valid'], [1, 1, 0, 0, 0, 0, 0, 0])
 
 
 class TestDeviceIterator:

@@ -513,3 +513,137 @@ class TestRawModelLoss:
     for _ in range(80):
       state, m = step(state, batch)
     assert float(m['loss']) < l0 * 0.7, (l0, float(m['loss']))
+
+
+class TestUpdateExchange:
+  """The alltoall-routed gradient return (reference reverse alltoallv,
+  collective.py:326-350): exactness vs the allgather route for every
+  optimizer, lossless overflow fallback, and a wire-volume HLO check."""
+
+  def _setup(self, vocab=VOCAB):
+    cfg = TableConfig('t', vocab, DIM)
+    table = create_table(cfg, jax.random.PRNGKey(0))
+    return cfg, table
+
+  def _ids_grads(self, seed=0, batch=BATCH, hi=VOCAB):
+    rng = np.random.RandomState(seed)
+    ids = jnp.asarray(rng.randint(0, hi, batch), jnp.int32)
+    demb = jnp.asarray(rng.randn(batch, DIM).astype(np.float32))
+    return ids, demb
+
+  def test_adagrad_alltoall_matches_allgather(self):
+    import hybridbackend_tpu as hb
+    cfg, table = self._setup()
+    state = init_adagrad_state(table, 0.1)
+    ids, demb = self._ids_grads(11)
+    with hb.scope(emb_update_exchange='allgather'):
+      t1, s1 = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
+    with hb.scope(emb_update_exchange='alltoall'):
+      t2, s2 = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.acc[0]),
+                               np.asarray(s2.acc[0]), rtol=1e-6)
+
+  def test_sgd_alltoall_matches_allgather(self):
+    import hybridbackend_tpu as hb
+    cfg, table = self._setup()
+    ids, demb = self._ids_grads(12)
+    with hb.scope(emb_update_exchange='allgather'):
+      t1 = sparse_sgd_apply(table, ids, demb, cfg, 0.3)
+    with hb.scope(emb_update_exchange='alltoall'):
+      t2 = sparse_sgd_apply(table, ids, demb, cfg, 0.3)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+
+  def test_adam_alltoall_matches_allgather(self):
+    import hybridbackend_tpu as hb
+    from hybridbackend_tpu.embedding.sparse_update import (
+        init_adam_state, sparse_adam_apply)
+    cfg, table = self._setup()
+    state = init_adam_state(table)
+    ids, demb = self._ids_grads(13)
+    with hb.scope(emb_update_exchange='allgather'):
+      t1, s1 = sparse_adam_apply(table, state, ids, demb, cfg, 1e-2, 1)
+    with hb.scope(emb_update_exchange='alltoall'):
+      t2, s2 = sparse_adam_apply(table, state, ids, demb, cfg, 1e-2, 1)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6,
+                               atol=1e-9)
+    for a, b in zip(s1.acc, s2.acc):
+      # atol: summation-order float noise on near-zero moment entries.
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                 atol=1e-9)
+
+  def test_overflow_falls_back_lossless(self):
+    """All ids owned by shard 0 with a tiny bucket ratio: buckets
+    overflow, the lax.cond fallback reroutes via allgather, results stay
+    exact (no dropped gradients)."""
+    import hybridbackend_tpu as hb
+    cfg, table = self._setup()
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(5)
+    ids = rng.randint(0, VOCAB // 8, BATCH)   # all rows in shard 0
+    demb = rng.randn(BATCH, DIM).astype(np.float32)
+    with hb.scope(emb_update_exchange='alltoall',
+                  emb_update_bucket_ratio=0.25):
+      t2, s2 = sparse_adagrad_apply(
+          table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+          cfg, 0.1)
+    want_t, want_a = reference_adagrad(
+        np.asarray(table), np.full((VOCAB, DIM), 0.1, np.float32),
+        ids, demb, 0.1)
+    np.testing.assert_allclose(np.asarray(t2), want_t, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.acc[0]), want_a, rtol=1e-5)
+
+  def test_nodedup_alltoall_keeps_tf_semantics(self):
+    """dedup=False ships per-occurrence grads uncombined through the
+    alltoall route; per-occurrence squares still accumulate."""
+    import hybridbackend_tpu as hb
+    cfg, table = self._setup()
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(4)
+    ids = rng.randint(0, 8, BATCH)  # heavy duplication, all shard 0
+    demb = rng.randn(BATCH, DIM).astype(np.float32)
+    with hb.scope(emb_update_exchange='alltoall'):
+      got_t, got_s = sparse_adagrad_apply(
+          table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+          cfg, 0.1, dedup=False, impl='xla')
+    want_a = np.full((VOCAB, DIM), 0.1, np.float32)
+    want_t = np.asarray(table).copy()
+    for i in range(BATCH):
+      want_a[ids[i]] += demb[i] * demb[i]
+    for i in range(BATCH):
+      want_t[ids[i]] -= 0.1 * demb[i] / (np.sqrt(want_a[ids[i]]) + 1e-7)
+    np.testing.assert_allclose(np.asarray(got_s.acc[0]), want_a, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=1e-4)
+
+  def test_hlo_wire_volume(self):
+    """The exchanged payload must be [W, cap, D] per device (cap ∝ b/W),
+    NOT the allgather's [W*b, D]: assert the HLO contains the bucketed
+    all-to-all and no full-payload gradient all-gather."""
+    import re
+    import hybridbackend_tpu as hb
+    from hybridbackend_tpu.embedding.sparse_update import (
+        _update_bucket_cap)
+    cfg, table = self._setup()
+    state = init_adagrad_state(table, 0.1)
+    batch = 512
+    ids, demb = self._ids_grads(14, batch=batch)
+    world = 8
+    cap = _update_bucket_cap(batch // world, world)
+    assert cap * world < batch  # the point: payload shrinks below [W*b]
+    with hb.scope(emb_update_exchange='alltoall',
+                  emb_update_overflow_fallback=False,
+                  emb_update_impl='xla'):
+      hlo = jax.jit(
+          lambda t, s, i, g: sparse_adagrad_apply(t, s, i, g, cfg, 0.1)
+      ).lower(table, state, ids, demb).compile().as_text()
+    # Bucketed payload exchange present: an all-to-all whose per-peer
+    # payload is [cap, D] (lowered as W operands of f32[1, cap, D]).
+    a2a_lines = [l for l in hlo.splitlines() if 'all-to-all' in l]
+    assert any(re.search(rf'f32\[(1,)?{cap},{DIM}\]', l) or
+               re.search(rf'f32\[{world},{cap},{DIM}\]', l)
+               for l in a2a_lines), a2a_lines[:10]
+    # No full-gradient allgather: f32[batch, DIM] -> f32[W*b, DIM].
+    big = rf'f32\[{batch},{DIM}\]'
+    bad = [l for l in hlo.splitlines()
+           if 'all-gather' in l and re.search(big, l)]
+    assert not bad, bad
