@@ -278,10 +278,123 @@ def alltoall(value: jax.Array, topology: Topology = Topology.ALL,
   return _spmd(fn, P(ctx.data_axes), P(ctx.data_axes), ctx)(value)
 
 
+def _norm_wire(wire_dtype):
+  if wire_dtype is None:
+    wire_dtype = OPTIONS['comm_wire_dtype']
+  return None if wire_dtype in ('float32', '', None) else \
+      jnp.dtype(wire_dtype)
+
+
+def alltoallv(value: jax.Array, sizes: jax.Array,
+              topology: Topology = Topology.ALL,
+              ctx: Optional[Context] = None,
+              wire_dtype=None) -> Tuple[jax.Array, jax.Array]:
+  """Variable-size all-to-all over static-capacity buckets.
+
+  Array-level lift of :func:`all_to_all_v_t` — the TPU form of the
+  reference ``hb.distribute.alltoall(value, sizes=...)``
+  (``collective.py:485-549`` / ``nccl_alltoallv.cc:200-350``).
+
+  Args:
+    value: global ``[W, W, cap, *common]`` array sharded on axis 0.
+      Device ``i``'s local ``[W, cap, ...]`` block holds its per-peer
+      buckets: row ``j`` goes to peer ``j``, first ``sizes[i, j]`` rows
+      valid.
+    sizes: global ``[W, W]`` int32, sharded on axis 0.
+
+  Returns:
+    ``(received, received_sizes)`` with the same global shapes: device
+    ``i``'s local row ``j`` is the bucket peer ``j`` sent to ``i``.
+
+  Gradients match the reference protocol (``collective.py:326-350``):
+  the cotangent is routed back with a REVERSE alltoallv using the
+  exchanged sizes, in ``comm_gradient_wire_dtype`` on the wire.
+  """
+  ctx = ctx or Context.get()
+  axes = topology_axes(topology, ctx)
+  wire = _norm_wire(wire_dtype)
+  gwire = _norm_wire(OPTIONS['comm_gradient_wire_dtype'])
+
+  def body(v, s):
+    v = v.reshape(v.shape[1:])          # strip the sharded leading dim
+    s = s.reshape(s.shape[1:])
+
+    @jax.custom_vjp
+    def exchange(v):
+      recv, rs = all_to_all_v_t(v, s, axes, wire_dtype=wire)
+      return recv, rs
+
+    def fwd(v):
+      recv, rs = all_to_all_v_t(v, s, axes, wire_dtype=wire)
+      return (recv, rs), rs
+
+    def bwd(rs, ct):
+      drecv, _ = ct
+      back, _ = all_to_all_v_t(drecv, rs, axes, wire_dtype=gwire)
+      return (back,)
+
+    exchange.defvjp(fwd, bwd)
+    recv, rs = exchange(v)
+    return recv[None], rs[None]
+
+  spec = P(ctx.data_axes)
+  return _spmd(body, (spec, spec), (spec, spec), ctx)(value, sizes)
+
+
+def allgatherv(value: jax.Array, sizes: jax.Array,
+               topology: Topology = Topology.ALL,
+               ctx: Optional[Context] = None
+               ) -> Tuple[jax.Array, jax.Array]:
+  """Gather variable-size per-device shards to every device.
+
+  Reference: ``hb.distribute.allgather(value, varying_size=True)``
+  (``collective.py:536-549``). Static-shape contract: device ``i``
+  contributes its local ``[cap, ...]`` block of which the first
+  ``sizes[i]`` rows are valid.
+
+  Args:
+    value: global ``[W, cap, *common]`` array sharded on axis 0.
+    sizes: global ``[W]`` int32 sharded on axis 0.
+
+  Returns:
+    ``(gathered [W, cap, ...], sizes [W])`` replicated on every device.
+    Use :func:`compact_rows` to front-pack the valid rows. Gradients are
+    stopped (reference allgather contract).
+  """
+  ctx = ctx or Context.get()
+  axes = topology_axes(topology, ctx)
+
+  def body(v, s):
+    return (jax.lax.all_gather(v.reshape(v.shape[1:]), axes, tiled=False),
+            jax.lax.all_gather(s, axes, tiled=True))
+
+  out, szs = _spmd(body, (P(ctx.data_axes), P(ctx.data_axes)),
+                   (P(), P()), ctx)(value, sizes)
+  return jax.lax.stop_gradient(out), szs
+
+
+def compact_rows(gathered: jax.Array, sizes: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array]:
+  """Front-pack the valid rows of ``[W, cap, ...]`` buckets.
+
+  Returns ``(flat [W*cap, ...], valid [W*cap] bool)`` where the first
+  ``sum(sizes)`` rows are the valid rows in (device, lane) order — the
+  static-shape analogue of the reference allgatherv's concatenated
+  output.
+  """
+  w, cap = gathered.shape[:2]
+  lane_valid = (jnp.arange(cap)[None, :] < sizes[:, None]).reshape(-1)
+  order = jnp.argsort(~lane_valid, stable=True)
+  flat = gathered.reshape((w * cap,) + gathered.shape[2:])[order]
+  count = jnp.sum(sizes)
+  return flat, jnp.arange(w * cap) < count
+
+
 __all__ = [
     'Topology', 'topology_axes',
     'psum_t', 'pmean_t', 'pmax_t', 'pmin_t', 'all_gather_t',
     'psum_scatter_t', 'all_to_all_t', 'all_to_all_v_t', 'broadcast_t',
     'axis_index_t', 'axis_size_t',
-    'allreduce', 'broadcast', 'allgather', 'alltoall',
+    'allreduce', 'broadcast', 'allgather', 'alltoall', 'alltoallv',
+    'allgatherv', 'compact_rows',
 ]

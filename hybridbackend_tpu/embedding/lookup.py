@@ -51,9 +51,25 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   """Look up ``ids`` (any shape) in a (possibly row-sharded) table.
 
   Returns embeddings of shape ``ids.shape + (dim,)``, batch-sharded like
-  ``ids``. The leading flat size must divide evenly by the world size.
+  ``ids``. Any flat size is accepted: sizes that do not divide the world
+  evenly are auto-padded with ``-1`` (no owner shard → zero embeddings,
+  zero grads) and sliced back — the reference's alltoallv takes
+  arbitrary sizes (``nccl_alltoallv.cc:200-350``); the static-shape
+  analogue is padding.
   """
   ctx = ctx or Context.get()
+
+  if config.should_shard(ctx):
+    n = 1
+    for s in ids.shape:
+      n *= s
+    if n % ctx.world_size != 0:
+      flat_ids0 = ids.reshape(-1)
+      padded_n = -(-n // ctx.world_size) * ctx.world_size
+      flat_p = jnp.concatenate(
+          [flat_ids0, jnp.full((padded_n - n,), -1, flat_ids0.dtype)])
+      out = lookup(table, flat_p, config, ctx=ctx, strategy=strategy)[:n]
+      return out.reshape(*ids.shape, config.dim)
 
   # Dedup before the exchange (reference: tf.unique ahead of the local
   # gather, sharding.py:186-189): with ``emb_unique_ratio < 1`` the
@@ -72,19 +88,16 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
     u = _unique(flat_ids, capacity=cap, fill_value=0)
     with OPTIONS.override(emb_unique_ratio=1.0):
       emb_u = lookup(table, u.values, config, ctx=ctx, strategy=strategy)
-      if flat_ids.shape[0] % ctx.world_size == 0:
-        # Capacity overflow would silently alias surplus uniques to slot
-        # cap-1 (the reference's tf.unique is always exact,
-        # sharding.py:186-189) — fall back to the exact non-deduped
-        # exchange when it trips. The predicate is a global scalar, so
-        # every device takes the same branch and the collectives inside
-        # stay uniform.
-        exact = lambda: lookup(table, flat_ids, config, ctx=ctx,
-                               strategy=strategy)
-        deduped = lambda: jnp.take(emb_u, u.index, axis=0)
-        out = jax.lax.cond(u.overflowed, exact, deduped)
-      else:
-        out = jnp.take(emb_u, u.index, axis=0)
+      # Capacity overflow would silently alias surplus uniques to slot
+      # cap-1 (the reference's tf.unique is always exact,
+      # sharding.py:186-189) — fall back to the exact non-deduped
+      # exchange when it trips. The predicate is a global scalar, so
+      # every device takes the same branch and the collectives inside
+      # stay uniform.
+      exact = lambda: lookup(table, flat_ids, config, ctx=ctx,
+                             strategy=strategy)
+      deduped = lambda: jnp.take(emb_u, u.index, axis=0)
+      out = jax.lax.cond(u.overflowed, exact, deduped)
     return out.reshape(*ids.shape, config.dim)
 
   rows = config.row_index(ids, ctx)
@@ -94,10 +107,6 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   strategy = strategy or OPTIONS['emb_lookup_strategy']
   orig_shape = rows.shape
   flat = rows.reshape(-1)
-  if flat.shape[0] % ctx.world_size != 0:
-    raise ValueError(
-        f'Lookup batch of {flat.shape[0]} ids (shape {orig_shape}) must '
-        f'divide evenly by world_size={ctx.world_size}; pad the batch.')
 
   if config.partition == 'column':
     # Column-sharded (dim-axis) table: every device holds all rows of

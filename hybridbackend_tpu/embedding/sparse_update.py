@@ -128,6 +128,20 @@ class SparseOptState(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _pad_to_world(rows: jax.Array, g: jax.Array, world: int
+                  ) -> Tuple[jax.Array, jax.Array]:
+  """Pad (rows, grads) to a world multiple with (-1, 0) lanes so the
+  batch axis splits evenly under shard_map (parity with the lookup's
+  arbitrary-size contract; -1 rows own no shard and are dropped)."""
+  n = rows.shape[0]
+  if world <= 1 or n % world == 0:
+    return rows, g
+  pn = -(-n // world) * world
+  rows = jnp.concatenate([rows, jnp.full((pn - n,), -1, rows.dtype)])
+  g = jnp.concatenate([g, jnp.zeros((pn - n,) + g.shape[1:], g.dtype)])
+  return rows, g
+
+
 def _local_combine(rows: jax.Array, g: jax.Array
                    ) -> Tuple[jax.Array, jax.Array]:
   """Sum duplicate rows' grads locally (exact row-total semantics).
@@ -372,6 +386,7 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     _warn_nodedup_ignored()
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
+  rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
   acc = state.acc[0]
 
   if not config.should_shard(ctx):
@@ -468,6 +483,7 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
   ctx = ctx or Context.get()
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
+  rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
 
   if not config.should_shard(ctx):
     if ctx.world_size > 1:
@@ -560,6 +576,7 @@ def sparse_adam_apply(table: jax.Array, state: SparseOptState,
   ctx = ctx or Context.get()
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
+  rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
   m, v = state.acc
 
   if not config.should_shard(ctx):

@@ -140,3 +140,74 @@ class TestTopology:
     assert hbd.topology_axes(hbd.Topology.ALL, ctx) == ('dcn', 'ici')
     assert hbd.topology_axes(hbd.Topology.INTRA_NODE, ctx) == ('ici',)
     assert hbd.topology_axes(hbd.Topology.INTER_NODE, ctx) == ('dcn',)
+
+
+class TestAlltoallv:
+  """Array-level alltoallv/allgatherv (reference collective.py:485-549)."""
+
+  def test_roundtrip_and_sizes(self):
+    import jax.numpy as jnp
+    ctx = Context.get()
+    W, cap = 8, 3
+    # device i sends to peer j the values i*10 + j, with sizes (i+j) % 3 + 1
+    val = np.zeros((W, W, cap), np.float32)
+    sizes = np.zeros((W, W), np.int32)
+    for i in range(W):
+      for j in range(W):
+        sizes[i, j] = (i + j) % 3 + 1
+        val[i, j, :sizes[i, j]] = i * 10 + j
+    sharding = ctx.sharding(ctx.data_axes, None, None)
+    v = jax.device_put(jnp.asarray(val), sharding)
+    s = jax.device_put(jnp.asarray(sizes),
+                       ctx.sharding(ctx.data_axes, None))
+    recv, rs = hbd.alltoallv(v, s)
+    recv, rs = np.asarray(recv), np.asarray(rs)
+    for me in range(W):
+      for src in range(W):
+        assert rs[me, src] == (me + src) % 3 + 1
+        assert (recv[me, src, :rs[me, src]] == src * 10 + me).all()
+
+  def test_gradient_reverse_routing(self):
+    """Cotangent of the received buckets returns to the sender's lanes
+    (the reference's reverse-alltoallv gradient, collective.py:326-350)."""
+    import jax.numpy as jnp
+    ctx = Context.get()
+    W, cap = 8, 2
+    sizes = np.full((W, W), cap, np.int32)
+    sharding = ctx.sharding(ctx.data_axes, None, None)
+    s = jax.device_put(jnp.asarray(sizes), ctx.sharding(ctx.data_axes, None))
+
+    def f(v):
+      recv, _ = hbd.alltoallv(v, s)
+      # weight received bucket [me, src] by (me+1)*(src+1)
+      w = jnp.arange(1, W + 1, dtype=jnp.float32)
+      return jnp.sum(recv * w[:, None, None] * w[None, :, None])
+
+    v = jax.device_put(jnp.ones((W, W, cap), jnp.float32), sharding)
+    g = np.asarray(jax.grad(f)(v))
+    # d/dv[i, j]: v[i, j] lands at recv[j, i] with weight (j+1)*(i+1)
+    for i in range(W):
+      for j in range(W):
+        assert (g[i, j] == (i + 1) * (j + 1)).all(), (i, j, g[i, j])
+
+  def test_allgatherv_and_compact(self):
+    import jax.numpy as jnp
+    ctx = Context.get()
+    W, cap = 8, 4
+    val = np.zeros((W, cap, 2), np.float32)
+    sizes = np.asarray([i % 3 + 1 for i in range(W)], np.int32)
+    for i in range(W):
+      val[i, :sizes[i]] = i + 1
+    v = jax.device_put(jnp.asarray(val),
+                       ctx.sharding(ctx.data_axes, None, None))
+    s = jax.device_put(jnp.asarray(sizes), ctx.sharding(ctx.data_axes))
+    g, gs = hbd.allgatherv(v, s)
+    np.testing.assert_array_equal(np.asarray(gs), sizes)
+    np.testing.assert_allclose(np.asarray(g), val)
+    flat, valid = hbd.compact_rows(g, gs)
+    flat, valid = np.asarray(flat), np.asarray(valid)
+    total = sizes.sum()
+    assert valid.sum() == total
+    want = np.concatenate([np.full((sizes[i], 2), i + 1, np.float32)
+                           for i in range(W)])
+    np.testing.assert_allclose(flat[:total], want)

@@ -231,3 +231,40 @@ def test_unique_ratio_overflow_falls_back_exact():
                     strategy='allgather').sum()
   g = np.asarray(jax.grad(loss)(tbl))
   assert set(np.nonzero(np.abs(g).sum(-1))[0].tolist()) == set(ids.tolist())
+
+
+def test_lookup_arbitrary_batch_sizes():
+  """Sizes that do not divide the world are auto-padded internally and
+  sliced back (reference alltoallv takes any sizes) — results and grads
+  exact for every strategy."""
+  import hybridbackend_tpu as hb
+  from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
+  from hybridbackend_tpu.embedding.sparse_update import (
+      init_adagrad_state, sparse_adagrad_apply)
+  ctx = hb.Context.get()
+  cfg = TableConfig('odd', 512, 8)
+  tbl = create_table(cfg, jax.random.PRNGKey(2), ctx)
+  host = np.asarray(tbl)
+  rng = np.random.RandomState(3)
+  for n in (7, 13, 63):
+    ids = rng.randint(0, 512, n).astype(np.int32)
+    for strategy in ('allgather', 'alltoall', 'gspmd'):
+      got = np.asarray(lookup(tbl, jnp.asarray(ids), cfg, ctx=ctx,
+                              strategy=strategy))
+      assert got.shape == (n, 8)
+      np.testing.assert_allclose(got, host[ids], atol=1e-5)
+
+  ids = rng.randint(0, 512, 13).astype(np.int32)
+
+  def loss(t):
+    return lookup(t, jnp.asarray(ids), cfg, ctx=ctx,
+                  strategy='allgather').sum()
+  g = np.asarray(jax.grad(loss)(tbl))
+  assert set(np.nonzero(np.abs(g).sum(-1))[0].tolist()) == set(ids.tolist())
+
+  # Row-sparse update accepts the same odd sizes.
+  st = init_adagrad_state(tbl, 0.1)
+  demb = jnp.asarray(rng.randn(13, 8).astype(np.float32))
+  t2, _ = sparse_adagrad_apply(tbl, st, jnp.asarray(ids), demb, cfg, 0.1)
+  touched = np.abs(np.asarray(t2) - host).sum(1) > 0
+  assert set(np.nonzero(touched)[0].tolist()) == set(ids.tolist())
