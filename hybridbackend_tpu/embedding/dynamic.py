@@ -31,13 +31,24 @@ from hybridbackend_tpu.embedding.table import TableConfig
 
 
 class IdMapper:
-  """Host-side growing map from raw int64 ids to dense table rows."""
+  """Host-side growing map from raw int64 ids to dense table rows.
+
+  The id→row resolution is the reference's device slab-hash probe
+  (``lookup_functors.cu.cc:40-170``) relocated to the TPU host input
+  path: it runs in the native open-addressing map
+  (:class:`hybridbackend_tpu.native.NativeIdMap`, C++ over the C ABI,
+  thread-parallel read probes — ~10 ns/id insert, ~1 ns/id bulk probe)
+  with a vectorized NumPy+dict fallback that touches each *unique* id
+  once rather than looping per occurrence.
+  """
 
   def __init__(self, capacity: int, min_count: int = 1):
+    from hybridbackend_tpu import native
     self.capacity = int(capacity)
     self.min_count = int(min_count)
-    self._map: Dict[int, int] = {}
-    self._counts: Counter = Counter()
+    self._native = native.native_idmap(min(self.capacity, 1 << 20))
+    self._map: Dict[int, int] = {}      # fallback mode only
+    self._counts: Counter = Counter()   # fallback mode only
     self._next = 0
 
   @property
@@ -49,28 +60,49 @@ class IdMapper:
     (looked up as zeros by every lookup strategy's out-of-range
     contract)."""
     ids = np.asarray(ids)
+    if self._native is not None:
+      if train:
+        rows, self._next = self._native.train_lookup(
+            ids.reshape(-1), self.capacity, self._next,
+            min_count=self.min_count)
+      else:
+        rows = self._native.lookup(ids.reshape(-1))
+      return rows.astype(np.int64).reshape(ids.shape)
+    return self._map_ids_numpy(ids, train)
+
+  def _map_ids_numpy(self, ids: np.ndarray, train: bool) -> np.ndarray:
+    """Fallback: one pass over the UNIQUE ids (dict cost ∝ uniques, not
+    occurrences), vectorized scatter back to all positions."""
     flat = ids.reshape(-1)
-    out = np.empty(flat.shape, np.int64)
-    for j, raw in enumerate(flat.tolist()):
+    uniq, inverse = np.unique(flat, return_inverse=True)
+    urows = np.empty(uniq.shape, np.int64)
+    for j, raw in enumerate(uniq.tolist()):
       row = self._map.get(raw, -1)
       if row < 0 and train:
         if self.min_count > 1:
-          self._counts[raw] += 1
+          # Every occurrence in this batch counts toward admission.
+          self._counts[raw] += int(np.count_nonzero(inverse == j))
           if self._counts[raw] < self.min_count:
-            out[j] = -1
+            urows[j] = -1
             continue
           del self._counts[raw]
         if self._next >= self.capacity:
-          out[j] = -1  # table full: treat as cold (reference EV would
-          continue      # grow; static capacity is the TPU tradeoff)
+          urows[j] = -1  # table full: cold (static-capacity tradeoff)
+          continue
         row = self._next
         self._next += 1
         self._map[raw] = row
-      out[j] = row
-    return out.reshape(ids.shape)
+      urows[j] = row
+    return urows[inverse].reshape(ids.shape)
 
   def state_dict(self) -> Dict[str, np.ndarray]:
     """Serializable mapping state (checkpoint alongside the table)."""
+    if self._native is not None:
+      ids_a, rows_a = self._native.items()
+      order = np.argsort(ids_a)
+      return {'ids': ids_a[order].astype(np.int64),
+              'rows': rows_a[order].astype(np.int64),
+              'next': np.asarray([self._next], np.int64)}
     items = np.asarray(sorted(self._map.items()), np.int64).reshape(-1, 2)
     return {'ids': items[:, 0], 'rows': items[:, 1],
             'next': np.asarray([self._next], np.int64)}
@@ -79,7 +111,12 @@ class IdMapper:
   def from_state_dict(cls, capacity: int, state: Dict[str, np.ndarray],
                       min_count: int = 1) -> 'IdMapper':
     m = cls(capacity, min_count)
-    m._map = {int(i): int(r) for i, r in zip(state['ids'], state['rows'])}
+    if m._native is not None:
+      m._native.set(np.asarray(state['ids'], np.int64),
+                    np.asarray(state['rows'], np.int32))
+    else:
+      m._map = {int(i): int(r)
+                for i, r in zip(state['ids'], state['rows'])}
     m._next = int(state['next'][0])
     return m
 

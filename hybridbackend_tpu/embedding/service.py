@@ -3,26 +3,36 @@
 TPU-native re-design of the reference's GPU-cached ``EmbeddingService``
 (``/root/reference/hybridbackend/tensorflow/embedding/service.py:50-324``
 + WCWS slab-hash probe kernel ``lookup_functors.cu.cc:40-170``): tables
-too large for device memory live in host DRAM; the device holds a
-fixed-capacity row cache. The reference probes a GPU hash table with a
-warp-cooperative kernel and evicts by staleness top-k in the gradient
-pass; on TPU the id→slot map is a host-side hash map (the input pipeline
-already touches every id on the host), so the device only ever sees
-dense slot indices — no device-side probing needed, and the training
-step stays a pure jitted function over the cache array.
+too large for device memory live in host DRAM (or any KV store behind
+:class:`Storage`); the device holds a fixed-capacity row cache. The
+reference probes a GPU hash table with a warp-cooperative kernel and
+evicts by staleness top-k; on TPU the id→slot map is the native
+open-addressing hash on the host input path
+(:class:`hybridbackend_tpu.native.NativeIdMap` — the input pipeline
+already touches every id there), so the device only ever sees dense slot
+indices and the training step stays a pure jitted function over the
+cache array.
 
-Per step: ``prepare(ids)`` assigns cache slots (LRU eviction with
-write-back of dirty rows), uploads missing rows HBM←DRAM, and returns
-slot ids; the cache array is the trainable parameter for resident rows.
-``flush()`` writes all resident rows back before checkpoints (reference
-``before_save_checkpoints``). Optimizer slot state (e.g. Adagrad
-accumulators) is cached under the same slot mapping (reference
-``before_apply_gradients`` slot sync).
+The cache is split into a **plan** phase (pure metadata: slot
+assignment, LRU eviction choice — safe to run ahead in the prefetch
+producer thread) and an **apply** phase (array effects: write back
+evicted rows, upload missing rows — executed in plan order by the
+training loop against the CURRENT state arrays). This ordering makes
+cache maintenance correct under prefetch pipelining: an evicted slot's
+write-back always reads the post-update array of the last step that
+could have touched it.
+
+``SparseTrainer(caches=...)`` wires a cache in as a first-class table
+kind: the cached table is an ordinary (stackable, shardable) fx table of
+``capacity`` rows; batch ids are host-mapped to slots, and the plan's
+array effects are applied to the live training state each step
+(reference ``before_apply_gradients`` / ``before_save_checkpoints``
+hooks, ``service.py:253-324``).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,9 +72,29 @@ class InMemoryStorage(Storage):
     self.tables[name][keys] = values
 
 
+class CachePlan(NamedTuple):
+  """Metadata result of one ``prepare_plan`` call.
+
+  Attributes:
+    slots: slot index per input id (input shape), int32.
+    evict_slots / evict_ids: rows to write back BEFORE the upload.
+    miss_slots / miss_ids: rows to pull from storage into the cache.
+  """
+  slots: np.ndarray
+  evict_slots: np.ndarray
+  evict_ids: np.ndarray
+  miss_slots: np.ndarray
+  miss_ids: np.ndarray
+
+
 class EmbeddingCache:
   """Fixed-capacity device cache over one host-DRAM table (plus aligned
-  auxiliary tables, e.g. optimizer accumulators)."""
+  auxiliary tables, e.g. optimizer slot accumulators).
+
+  The id→slot map runs in the native hash (NumPy-unique + dict fallback
+  touching only unique ids); LRU eviction and slot bookkeeping are fully
+  vectorized — no per-id Python loops anywhere.
+  """
 
   def __init__(self, config: TableConfig, capacity: int,
                host_tables: Optional[Dict[str, np.ndarray]] = None,
@@ -72,6 +102,7 @@ class EmbeddingCache:
                table_shapes: Optional[Dict[str, tuple]] = None,
                table_dtypes: Optional[Dict[str, np.dtype]] = None,
                ctx: Optional[Context] = None):
+    from hybridbackend_tpu import native
     self.config = config
     self._ctx = ctx or Context.get()
     if host_tables is None and storage is None:
@@ -98,93 +129,250 @@ class EmbeddingCache:
     self.storage = storage
     self.capacity = int(capacity)
     self.host: Dict[str, np.ndarray] = host_tables or {}
-    # Device-resident caches, one per table, same slot mapping.
-    self.device: Dict[str, jax.Array] = {
-        name: jnp.zeros((self.capacity,) + tuple(shape),
-                        table_dtypes[name])
-        for name, shape in table_shapes.items()
-    }
-    self._id_to_slot: Dict[int, int] = {}
+    # Device-resident caches, one per table, same slot mapping. Placed
+    # row-sharded over the mesh when the slot table's shard policy says
+    # so (standalone use; via SparseTrainer the arrays ARE the sharded
+    # training tables and this dict is only the default home).
+    slot_cfg = self.slot_config()
+    shard = (slot_cfg.should_shard(self._ctx)
+             and self.capacity % max(self._ctx.world_size, 1) == 0)
+    self.device: Dict[str, jax.Array] = {}
+    for name, shape in table_shapes.items():
+      z = jnp.zeros((self.capacity,) + tuple(shape), table_dtypes[name])
+      if shard:
+        z = jax.device_put(z, self._ctx.sharding(
+            self._ctx.data_axes, *([None] * len(shape))))
+      self.device[name] = z
+    self._slots = native.native_idmap(min(self.capacity, 1 << 20))
+    self._fallback: Dict[int, int] = {} if self._slots is None else None
     self._slot_to_id = np.full(self.capacity, -1, np.int64)
     self._last_used = np.zeros(self.capacity, np.int64)
-    self._free: List[int] = list(range(self.capacity - 1, -1, -1))
+    self._n_free = self.capacity          # slots [n_used:] conceptually
+    self._free = np.arange(self.capacity - 1, -1, -1, dtype=np.int64)
     self._step = 0
+
+  def slot_config(self) -> TableConfig:
+    """TableConfig of the slot space — use it to declare the cached
+    table to a feature extractor (``vocab = capacity``; slots are dense,
+    so no id mixing)."""
+    import dataclasses
+    return dataclasses.replace(self.config, vocab_size=self.capacity,
+                               shuffle_ids=False)
 
   @property
   def resident(self) -> int:
-    return len(self._id_to_slot)
+    return int((self._slot_to_id >= 0).sum())
 
-  def prepare(self, ids: np.ndarray) -> np.ndarray:
-    """Assign slots for ``ids`` (uploading misses), return slot indices.
+  # -- id -> slot map (native hash; unique+dict fallback) ------------------
 
-    Call once per step BEFORE the jitted step; pass the returned slots
-    as the lookup indices into ``cache.device['value']``.
+  def _lookup_slots(self, uniq: np.ndarray) -> np.ndarray:
+    if self._slots is not None:
+      return self._slots.lookup(uniq).astype(np.int64)
+    return np.asarray([self._fallback.get(int(i), -1) for i in uniq],
+                      np.int64)
+
+  def _set_slots(self, ids: np.ndarray, slots: np.ndarray) -> None:
+    if self._slots is not None:
+      self._slots.set(ids, slots.astype(np.int32))
+    else:
+      for i, s in zip(ids.tolist(), slots.tolist()):
+        self._fallback[int(i)] = int(s)
+
+  def _erase_slots(self, ids: np.ndarray) -> None:
+    if self._slots is not None:
+      self._slots.erase(ids)
+    else:
+      for i in ids.tolist():
+        self._fallback.pop(int(i), None)
+
+  # -- plan / apply --------------------------------------------------------
+
+  def prepare_plan(self, ids: np.ndarray) -> CachePlan:
+    """Assign slots for ``ids`` (metadata only; no array effects).
+
+    Safe to call from a prefetch producer thread; the returned plans
+    must be APPLIED in creation order (see module docstring).
     """
-    ids = np.asarray(ids).reshape(-1)
-    uniq = np.unique(ids)
+    shape = np.asarray(ids).shape
+    flat = np.asarray(ids).reshape(-1)
+    uniq, inverse = np.unique(flat, return_inverse=True)
     if len(uniq) > self.capacity:
       raise ValueError(
           f'batch touches {len(uniq)} unique ids > capacity '
           f'{self.capacity}; raise the cache capacity')
     self._step += 1
-    misses = [i for i in uniq.tolist() if i not in self._id_to_slot]
-    if misses:
-      slots = self._allocate(len(misses), protect=set(uniq.tolist()))
-      for name in self.device:
-        rows = jnp.asarray(self.storage.pull(name, np.asarray(misses)))
-        self.device[name] = self.device[name].at[
-            jnp.asarray(slots)].set(rows)
-      for i, s in zip(misses, slots):
-        self._id_to_slot[i] = s
-        self._slot_to_id[s] = i
-    slot_arr = np.fromiter((self._id_to_slot[i] for i in ids.tolist()),
-                           np.int32, len(ids))
-    for i in uniq.tolist():
-      self._last_used[self._id_to_slot[i]] = self._step
-    return slot_arr
+    slots_u = self._lookup_slots(uniq)
+    miss_mask = slots_u < 0
+    misses = uniq[miss_mask]
+    evict_slots = np.zeros((0,), np.int64)
+    evict_ids = np.zeros((0,), np.int64)
+    if misses.size:
+      new_slots, evict_slots, evict_ids = self._allocate(
+          len(misses), protect_slots=slots_u[~miss_mask])
+      self._erase_slots(evict_ids)
+      self._set_slots(misses, new_slots)
+      self._slot_to_id[new_slots] = misses
+      slots_u = slots_u.copy()
+      slots_u[miss_mask] = new_slots
+    self._last_used[slots_u] = self._step
+    return CachePlan(
+        slots=slots_u[inverse].astype(np.int32).reshape(shape),
+        evict_slots=evict_slots, evict_ids=evict_ids,
+        miss_slots=slots_u[miss_mask], miss_ids=misses)
 
-  def _allocate(self, n: int, protect: set) -> List[int]:
-    slots: List[int] = []
-    while self._free and len(slots) < n:
-      slots.append(self._free.pop())
-    if len(slots) < n:
-      # Evict stalest resident rows not needed this step (reference:
-      # staleness top_k, service.py:253-283), writing values back.
-      order = np.argsort(self._last_used)
-      evict = []
-      for s in order:
-        if len(slots) + len(evict) >= n:
-          break
-        owner = self._slot_to_id[s]
-        if owner >= 0 and owner not in protect:
-          evict.append(int(s))
-      if len(slots) + len(evict) < n:
-        raise ValueError('cache thrash: cannot evict enough rows')
-      self._writeback(evict)
-      for s in evict:
-        del self._id_to_slot[int(self._slot_to_id[s])]
-        self._slot_to_id[s] = -1
-      slots.extend(evict)
-    return slots
+  def _allocate(self, n: int, protect_slots: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Take ``n`` slots: free ones first, then stalest residents
+    (reference staleness top-k eviction, ``service.py:253-283``)."""
+    take = min(self._n_free, n)
+    slots = self._free[self._n_free - take:self._n_free].copy()
+    self._n_free -= take
+    if take == n:
+      return slots, np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+    need = n - take
+    order = np.argsort(self._last_used, kind='stable')
+    prot = np.zeros(self.capacity, bool)
+    prot[protect_slots] = True
+    cand = order[(self._slot_to_id[order] >= 0) & ~prot[order]]
+    if len(cand) < need:
+      raise ValueError('cache thrash: cannot evict enough rows')
+    evict = cand[:need]
+    evict_ids = self._slot_to_id[evict].copy()
+    self._slot_to_id[evict] = -1
+    return np.concatenate([slots, evict]), evict, evict_ids
 
-  def _writeback(self, slots: List[int]) -> None:
-    if not slots:
+  def apply_plan(self, arrays: Dict[str, jax.Array], plan: CachePlan,
+                 row_offset: int = 0) -> Dict[str, jax.Array]:
+    """Execute a plan's array effects against ``arrays`` (keys must
+    match the cache's table names; ``row_offset`` shifts slot indices —
+    used when the cached table is a member of a stacked physical
+    table). Returns the updated arrays."""
+    if plan.evict_slots.size:
+      rows_idx = jnp.asarray(plan.evict_slots + row_offset)
+      for name, arr in arrays.items():
+        rows = np.asarray(jnp.take(arr, rows_idx, axis=0))
+        self.storage.push(name, plan.evict_ids, rows)
+    if plan.miss_slots.size:
+      slots_idx = jnp.asarray(plan.miss_slots + row_offset)
+      out = {}
+      for name, arr in arrays.items():
+        rows = jnp.asarray(self.storage.pull(name, plan.miss_ids),
+                           arr.dtype)
+        out[name] = arr.at[slots_idx].set(rows)
+      return out
+    return dict(arrays)
+
+  # -- single-array convenience (standalone use, tests) --------------------
+
+  def prepare(self, ids: np.ndarray) -> np.ndarray:
+    """Plan + apply against the cache's own device arrays; returns slot
+    indices. Call once per step BEFORE the jitted step."""
+    plan = self.prepare_plan(ids)
+    self.device = self.apply_plan(self.device, plan)
+    return plan.slots
+
+  def flush(self, arrays: Optional[Dict[str, jax.Array]] = None,
+            row_offset: int = 0) -> None:
+    """Write every resident row back to storage (reference
+    ``before_save_checkpoints``, ``service.py:306-324``)."""
+    arrays = self.device if arrays is None else arrays
+    resident = np.nonzero(self._slot_to_id >= 0)[0]
+    if not resident.size:
       return
-    idx = np.asarray(slots)
-    owners = self._slot_to_id[idx]
-    for name in self.device:
-      rows = np.asarray(self.device[name][jnp.asarray(idx)])
+    owners = self._slot_to_id[resident]
+    idx = jnp.asarray(resident + row_offset)
+    for name, arr in arrays.items():
+      rows = np.asarray(jnp.take(arr, idx, axis=0))
       self.storage.push(name, owners, rows)
 
-  def flush(self) -> None:
-    """Write every resident row back to the host tables (reference:
-    ``before_save_checkpoints``, service.py:306-324)."""
-    slots = [s for s in range(self.capacity) if self._slot_to_id[s] >= 0]
-    self._writeback(slots)
+  def lookup_slots(self, ids: np.ndarray) -> np.ndarray:
+    """Read-only id→slot probe (eval: misses → -1 → zero embeddings)."""
+    shape = np.asarray(ids).shape
+    flat = np.asarray(ids).reshape(-1)
+    uniq, inverse = np.unique(flat, return_inverse=True)
+    return self._lookup_slots(uniq)[inverse].astype(
+        np.int32).reshape(shape)
 
   def lookup_embeddings(self, slots: np.ndarray) -> jax.Array:
     """Convenience: gather cached value rows for prepared slots."""
     return jnp.take(self.device['value'], jnp.asarray(slots), axis=0)
 
 
-__all__ = ['EmbeddingCache', 'Storage', 'InMemoryStorage']
+class CacheRunner:
+  """Wires :class:`EmbeddingCache` instances into a training loop.
+
+  One runner serves a SparseTrainer: ``transform`` (producer thread)
+  plans slot assignments and rewrites id columns to slots; the trainer
+  calls ``apply_next`` before each step to execute the oldest plan's
+  array effects against the live state (plan order = step order, which
+  is what makes write-backs read fully-updated rows), and ``flush``
+  before checkpoints.
+  """
+
+  def __init__(self, caches: Dict[str, 'EmbeddingCache'], fx):
+    import collections
+    self._caches = dict(caches)
+    self._plans = collections.deque()
+    self._loc: Dict[str, Tuple[str, int]] = {}
+    for col, cache in self._caches.items():
+      name = cache.config.name
+      stack = fx._stack_of[name]
+      _, off = stack.member(name)
+      self._loc[col] = (stack.stacked.name, off)
+
+  def transform(self, batch):
+    """Producer-side: map id columns to cache slots, queue the plan."""
+    batch = dict(batch)
+    plans = {}
+    for col, cache in self._caches.items():
+      plan = cache.prepare_plan(np.asarray(batch[col]))
+      batch[col] = plan.slots
+      plans[col] = plan
+    self._plans.append(plans)
+    return batch
+
+  def eval_transform(self, batch):
+    """Read-only slot mapping for eval/predict: misses → -1 (cold ids
+    read as zeros by the lookup out-of-range contract)."""
+    batch = dict(batch)
+    for col, cache in self._caches.items():
+      batch[col] = cache.lookup_slots(np.asarray(batch[col]))
+    return batch
+
+  def _arrays_of(self, state, sname: str) -> Dict[str, jax.Array]:
+    arrays = {'value': state.tables[sname]}
+    for i, a in enumerate(state.table_opt[sname].acc):
+      arrays[f'slot{i}'] = a
+    return arrays
+
+  def apply_next(self, state):
+    """Execute the oldest pending plan against the train state."""
+    if not self._plans:
+      return state
+    import dataclasses
+    from hybridbackend_tpu.embedding.sparse_update import SparseOptState
+    plans = self._plans.popleft()
+    tables = dict(state.tables)
+    topt = dict(state.table_opt)
+    for col, plan in plans.items():
+      cache = self._caches[col]
+      sname, off = self._loc[col]
+      nslots = len(topt[sname].acc)
+      arrays = {'value': tables[sname]}
+      for i, a in enumerate(topt[sname].acc):
+        arrays[f'slot{i}'] = a
+      arrays = cache.apply_plan(arrays, plan, row_offset=off)
+      tables[sname] = arrays['value']
+      topt[sname] = SparseOptState(
+          acc=tuple(arrays[f'slot{i}'] for i in range(nslots)))
+    return dataclasses.replace(state, tables=tables, table_opt=topt)
+
+  def flush(self, state) -> None:
+    """Write all resident rows back (call before checkpoint saves)."""
+    for col, cache in self._caches.items():
+      sname, off = self._loc[col]
+      cache.flush(self._arrays_of(state, sname), row_offset=off)
+
+
+__all__ = ['EmbeddingCache', 'CachePlan', 'CacheRunner', 'Storage',
+           'InMemoryStorage']

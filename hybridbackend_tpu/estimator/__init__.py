@@ -40,6 +40,12 @@ OPTIONS.register('save_checkpoint_steps', 0, env='HB_SAVE_CHECKPOINT_STEPS',
 class Trainer:
   """Owns the full training lifecycle for one model.
 
+  Class attributes ``_host_transform`` / ``_eval_host_transform`` /
+  ``_cache_runner`` are the cache-backed-table hook points (set by
+  ``SparseTrainer(caches=...)``): host batches pass through the
+  transform before device placement, and the runner's pending array
+  effects are applied to the state before each step.
+
   Args:
     loss_fn: ``(params, batch) -> (scalar_loss, aux_dict)``. ``aux_dict``
       should include ``'preds'`` for the built-in eval metrics.
@@ -48,6 +54,10 @@ class Trainer:
     model_dir: checkpoint/summary directory (restores latest on init).
     label_key: batch key with labels for the built-in binary-CTR eval.
   """
+
+  _host_transform = None
+  _eval_host_transform = None
+  _cache_runner = None
 
   def __init__(self, loss_fn: Callable, params: Any,
                optimizer: Optional[optax.GradientTransformation] = None,
@@ -107,7 +117,10 @@ class Trainer:
     if sync:
       it = SyncReplicasIterator(it, ctx=self._ctx)
     if prefetch:
-      it = DeviceIterator(it, ctx=self._ctx)
+      it = DeviceIterator(it, ctx=self._ctx,
+                          transform=self._host_transform)
+    elif self._host_transform is not None:
+      it = map(self._host_transform, it)
     hooks = list(hooks)
     for h in hooks:
       h.begin()
@@ -120,6 +133,8 @@ class Trainer:
         step_no = self.global_step
         for h in hooks:
           h.before_step(step_no)
+        if self._cache_runner is not None:
+          self.state = self._cache_runner.apply_next(self.state)
         self.state, m = self._step_fn(self.state, batch)
         metrics = {k: v for k, v in m.items() if k != 'preds'}
         steps_done += 1
@@ -128,6 +143,8 @@ class Trainer:
           h.after_step(step_no, metrics)
         if (self._ckpt and save_checkpoint_steps
             and step_no % save_checkpoint_steps == 0):
+          if self._cache_runner is not None:
+            self._cache_runner.flush(self.state)
           self._ckpt.save(step_no, self.state)
         if (eval_every_n_steps and eval_batches_fn
             and step_no % eval_every_n_steps == 0):
@@ -139,6 +156,8 @@ class Trainer:
       for h in hooks:
         h.end(self.global_step)
       if self._ckpt:
+        if self._cache_runner is not None:
+          self._cache_runner.flush(self.state)
         self._ckpt.save(self.global_step, self.state)
     return {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
 
@@ -164,7 +183,10 @@ class Trainer:
     it: Iterator = iter(batches)
     it = SyncReplicasIterator(it, drop_remainder=False, ctx=self._ctx)
     if prefetch:
-      it = DeviceIterator(it, ctx=self._ctx)
+      it = DeviceIterator(it, ctx=self._ctx,
+                          transform=self._eval_host_transform)
+    elif self._eval_host_transform is not None:
+      it = map(self._eval_host_transform, it)
     auc_s = hbm.auc_init()
     loss_s = hbm.mean_init()
     gauc_s = hbm.gauc_init()
@@ -230,7 +252,10 @@ class Trainer:
     """Yield per-batch predictions (reference ``estimator.py:511``)."""
     it: Iterator = iter(batches)
     if prefetch:
-      it = DeviceIterator(it, ctx=self._ctx)
+      it = DeviceIterator(it, ctx=self._ctx,
+                          transform=self._eval_host_transform)
+    elif self._eval_host_transform is not None:
+      it = map(self._eval_host_transform, it)
     for batch in it:
       _, aux = self._eval_fn(self.params, batch)
       yield np.asarray(aux['preds'])
@@ -275,13 +300,35 @@ class SparseTrainer(Trainer):
                ctx: Optional[Context] = None,
                label_key: str = 'label',
                group_key: Optional[str] = None,
-               rng: Optional[jax.Array] = None):
+               rng: Optional[jax.Array] = None,
+               caches: Optional[Dict[str, Any]] = None):
+    """``caches`` maps batch column names to ``EmbeddingCache``
+    instances backing that column's fx table (declare the table with
+    ``cache.slot_config()``; the cache's host tables must be named
+    'value' plus one 'slot{i}' per optimizer slot — 1 for adagrad, 2
+    for adam). Ids are host-mapped to cache slots every step and cache
+    maintenance (write-back, upload) is applied to the live state in
+    step order (reference EmbeddingService hooks,
+    ``service.py:253-324``)."""
     from hybridbackend_tpu.training.sparse_step import (
         SparseTrainState, make_sparse_train_step)
     self._ctx = ctx or Context.get()
     self._fx = fx
     self._label_key = label_key
     self._group_key = group_key
+    if caches:
+      from hybridbackend_tpu.embedding.service import CacheRunner
+      nslots = 2 if table_optimizer == 'adam' else 1
+      want = {'value'} | {f'slot{i}' for i in range(nslots)}
+      for col, cache in caches.items():
+        have = set(cache.device.keys())
+        if have != want:
+          raise ValueError(
+              f'cache for column {col!r} has tables {sorted(have)}; '
+              f'{table_optimizer} needs exactly {sorted(want)}')
+      self._cache_runner = CacheRunner(caches, fx)
+      self._host_transform = self._cache_runner.transform
+      self._eval_host_transform = self._cache_runner.eval_transform
     if dense_optimizer is None:
       dense_optimizer = optax.adam(1e-3)
     if tables is None:

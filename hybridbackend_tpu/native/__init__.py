@@ -43,12 +43,31 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(so_path):
       tmp = so_path + '.tmp'
       subprocess.run(
-          ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+          ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
            '-o', tmp, _SRC],
           check=True, capture_output=True)
       os.replace(tmp, so_path)
     lib = ctypes.CDLL(so_path)
     lib.ragged_take_rows.restype = ctypes.c_int64
+    lib.hb_idmap_new.restype = ctypes.c_void_p
+    lib.hb_idmap_new.argtypes = [ctypes.c_int64]
+    lib.hb_idmap_free.argtypes = [ctypes.c_void_p]
+    lib.hb_idmap_size.restype = ctypes.c_int64
+    lib.hb_idmap_size.argtypes = [ctypes.c_void_p]
+    lib.hb_idmap_lookup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.hb_idmap_train_lookup.restype = ctypes.c_int64
+    lib.hb_idmap_train_lookup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+    lib.hb_idmap_set.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.hb_idmap_erase.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.hb_idmap_items.restype = ctypes.c_int64
+    lib.hb_idmap_items.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _LIB = lib
   except (OSError, subprocess.CalledProcessError) as e:
     LOG.warning('native module unavailable, using NumPy fallbacks: %s', e)
@@ -139,4 +158,78 @@ def murmur3_mix64(ids: np.ndarray, modulo: int = 0) -> Optional[np.ndarray]:
 
 
 __all__ = ['available', 'ragged_to_padded', 'ragged_take_rows',
-           'take_rows_dense', 'murmur3_mix64']
+           'take_rows_dense', 'murmur3_mix64', 'NativeIdMap',
+           'native_idmap']
+
+
+class NativeIdMap:
+  """Open-addressing int64→int32 map over the C ABI (host analogue of
+  the reference's device slab hash, ``lookup_functors.cu.cc:40-170``).
+  Returns None from :func:`native_idmap` when the native lib is
+  unavailable; callers fall back to a NumPy/dict path."""
+
+  def __init__(self, capacity_hint: int = 1024):
+    self._lib = _build_and_load()
+    if self._lib is None:
+      raise RuntimeError('native lib unavailable')
+    self._h = self._lib.hb_idmap_new(ctypes.c_int64(int(capacity_hint)))
+
+  def __del__(self):
+    try:
+      if getattr(self, '_h', None):
+        self._lib.hb_idmap_free(self._h)
+        self._h = None
+    except Exception:
+      pass
+
+  def __len__(self) -> int:
+    return int(self._lib.hb_idmap_size(self._h))
+
+  def lookup(self, ids: np.ndarray, missing: int = -1,
+             nthreads: int = 0) -> np.ndarray:
+    """Read-only parallel probe; unadmitted/absent ids → ``missing``."""
+    ids = np.ascontiguousarray(ids, np.int64)
+    out = np.empty(ids.shape, np.int32)
+    if nthreads <= 0:
+      nthreads = min(8, os.cpu_count() or 1)
+    self._lib.hb_idmap_lookup(self._h, _ptr(ids),
+                              ctypes.c_int64(ids.size), _ptr(out),
+                              ctypes.c_int32(missing),
+                              ctypes.c_int32(nthreads))
+    return out
+
+  def train_lookup(self, ids: np.ndarray, max_rows: int, next_row: int,
+                   min_count: int = 1):
+    """Lookup-or-assign: returns ``(rows, new_next_row)``."""
+    ids = np.ascontiguousarray(ids, np.int64)
+    out = np.empty(ids.shape, np.int32)
+    nxt = self._lib.hb_idmap_train_lookup(
+        self._h, _ptr(ids), ctypes.c_int64(ids.size), _ptr(out),
+        ctypes.c_int64(int(max_rows)), ctypes.c_int64(int(next_row)),
+        ctypes.c_int32(int(min_count)))
+    return out, int(nxt)
+
+  def set(self, ids: np.ndarray, rows: np.ndarray) -> None:
+    ids = np.ascontiguousarray(ids, np.int64)
+    rows = np.ascontiguousarray(rows, np.int32)
+    self._lib.hb_idmap_set(self._h, _ptr(ids), _ptr(rows),
+                           ctypes.c_int64(ids.size))
+
+  def erase(self, ids: np.ndarray) -> None:
+    ids = np.ascontiguousarray(ids, np.int64)
+    self._lib.hb_idmap_erase(self._h, _ptr(ids), ctypes.c_int64(ids.size))
+
+  def items(self):
+    """Admitted (id, row) pairs, unordered."""
+    n = len(self)
+    ids = np.empty((n,), np.int64)
+    rows = np.empty((n,), np.int32)
+    cnt = int(self._lib.hb_idmap_items(self._h, _ptr(ids), _ptr(rows)))
+    return ids[:cnt], rows[:cnt]
+
+
+def native_idmap(capacity_hint: int = 1024):
+  """NativeIdMap or None when the native lib is unavailable."""
+  if _build_and_load() is None:
+    return None
+  return NativeIdMap(capacity_hint)

@@ -181,3 +181,162 @@ def test_embedding_cache_custom_storage():
     cache.prepare(np.arange(base, base + 8))
   cache.flush()
   assert store.pushes > 0
+
+
+class TestCacheBackedTraining:
+  """EmbeddingCache as a first-class SparseTrainer table kind
+  (reference EmbeddingService integration, service.py:253-324)."""
+
+  def _data(self, steps, batch=32, vocab=10_000, seed=0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for t in range(steps):
+      # sliding working set forces eviction + re-pull round trips
+      lo = (t * 37) % (vocab - 200)
+      big = rng.randint(lo, lo + 120, batch).astype(np.int64)
+      small = rng.randint(0, 128, batch).astype(np.int32)
+      d0 = rng.rand(batch).astype(np.float32)
+      label = ((big % 5 == 0) | (d0 > 0.8)).astype(np.float32)
+      out.append({'big': big, 'small': small, 'd0': d0, 'label': label})
+    return out
+
+  def _model_loss(self):
+    import jax.numpy as jnp
+
+    def model_loss(dense, emb_f, dense_f, batch):
+      x = jnp.concatenate(emb_f + dense_f, axis=-1)
+      logits = (x @ dense['w'])[:, 0] + dense['b']
+      p = jnp.clip(jax.nn.sigmoid(logits), 1e-6, 1 - 1e-6)
+      y = batch['label']
+      pel = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+      return jnp.mean(pel), {'preds': p, 'per_example_loss': pel}
+    return model_loss
+
+  def test_trains_and_matches_uncached(self):
+    import jax.numpy as jnp
+    import optax
+    from hybridbackend_tpu.embedding import TableConfig
+    from hybridbackend_tpu.embedding.service import EmbeddingCache
+    from hybridbackend_tpu.estimator import SparseTrainer
+    from hybridbackend_tpu.models import (EmbeddingSpec,
+                                          StackedFeatureExtractor)
+    VOCAB, CAP, DIM = 10_000, 160, 8
+    rng = np.random.RandomState(1)
+    init_value = (rng.randn(VOCAB, DIM) * 0.01).astype(np.float32)
+    small_init = (rng.randn(128, DIM) * 0.01).astype(np.float32)
+    batches = self._data(12)
+
+    def make_trainer(cached):
+      if cached:
+        cache = EmbeddingCache(
+            TableConfig('big', VOCAB, DIM),
+            CAP,
+            host_tables={'value': init_value.copy(),
+                         'slot0': np.full((VOCAB, DIM), 0.1, np.float32)})
+        big_cfg = cache.slot_config()
+      else:
+        cache = None
+        big_cfg = TableConfig('big', VOCAB, DIM, sharded=False,
+                              initializer=lambda k, s: jnp.asarray(
+                                  init_value))
+      # Pinned initializers: stack grouping (and thus per-stack rng
+      # splits) differs between the cached and gold runs, so random
+      # inits would not line up.
+      specs = [EmbeddingSpec(big_cfg, column='big'),
+               EmbeddingSpec(TableConfig('small', 128, DIM,
+                                         sharded=False,
+                                         initializer=lambda k, s:
+                                         jnp.asarray(small_init)),
+                             column='small')]
+      fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+      wr = np.random.RandomState(7).randn(2 * DIM + 1, 1) * 0.3
+      dense = {'w': jnp.asarray(wr, jnp.float32),
+               'b': jnp.zeros((), jnp.float32)}
+      tr = SparseTrainer(fx, self._model_loss(), dense,
+                         dense_optimizer=optax.sgd(0.1),
+                         table_lr=0.1, adagrad_init=0.1,
+                         rng=jax.random.PRNGKey(3),
+                         caches={'big': cache} if cached else None)
+      return tr, cache
+
+    tr_c, cache = make_trainer(cached=True)
+    m = tr_c.train(iter(batches), sync=False)
+    assert np.isfinite(m['loss'])
+    tr_c._cache_runner.flush(tr_c.state)
+
+    tr_g, _ = make_trainer(cached=False)
+    tr_g.train(iter(batches), sync=False)
+
+    # The gold 'big' table lives inside a stacked physical table.
+    stack = tr_g._fx._stack_of['big']
+    _, off = stack.member('big')
+    gold = np.asarray(tr_g.state.tables[stack.stacked.name])[
+        off:off + VOCAB]
+
+    touched = np.unique(np.concatenate([b['big'] for b in batches]))
+    flushed = cache.storage.tables['value']
+    # Every touched row's trained value round-tripped through cache
+    # evictions/uploads must equal the uncached training result.
+    np.testing.assert_allclose(flushed[touched], gold[touched],
+                               rtol=2e-4, atol=2e-6)
+    # Untouched rows keep their initial values.
+    untouched = np.setdiff1d(np.arange(VOCAB), touched)[:100]
+    np.testing.assert_array_equal(flushed[untouched],
+                                  init_value[untouched])
+    # Training actually moved the touched rows.
+    assert np.abs(flushed[touched] - init_value[touched]).max() > 1e-4
+
+  def test_eval_uses_readonly_slots(self):
+    import jax.numpy as jnp
+    import optax
+    from hybridbackend_tpu.embedding import TableConfig
+    from hybridbackend_tpu.embedding.service import EmbeddingCache
+    from hybridbackend_tpu.estimator import SparseTrainer
+    from hybridbackend_tpu.models import (EmbeddingSpec,
+                                          StackedFeatureExtractor)
+    VOCAB, CAP, DIM = 1000, 64, 8
+    cache = EmbeddingCache(
+        TableConfig('big', VOCAB, DIM),
+        CAP,
+        host_tables={'value': np.zeros((VOCAB, DIM), np.float32),
+                     'slot0': np.full((VOCAB, DIM), 0.1, np.float32)})
+    specs = [EmbeddingSpec(cache.slot_config(), column='big')]
+    fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+    dense = {'w': jnp.zeros((DIM + 1, 1), jnp.float32),
+             'b': jnp.zeros((), jnp.float32)}
+    tr = SparseTrainer(fx, self._model_loss(), dense,
+                       dense_optimizer=optax.sgd(0.1),
+                       rng=jax.random.PRNGKey(0), caches={'big': cache})
+    batches = self._data(3, vocab=1000)
+    tr.train(iter(batches), sync=False)
+    size_before = cache.resident
+    res = tr.evaluate(iter(self._data(2, vocab=1000, seed=9)))
+    assert np.isfinite(res['loss'])
+    assert cache.resident == size_before  # eval inserted nothing
+
+
+def test_idmap_speed_1m_ids():
+  """VERDICT round-1 order #3: a 1M-id batch must map at native speed
+  (the reference probes its slab hash at GPU speed; our bar is the host
+  input path not costing more than the train step it feeds)."""
+  import time
+  from hybridbackend_tpu import native
+  m = native.native_idmap(1 << 20)
+  if m is None:
+    pytest.skip('native lib unavailable')
+  n = 1_000_000
+  ids = (np.random.RandomState(0).randint(0, 1 << 40, n)).astype(np.int64)
+  rows, nxt = m.train_lookup(ids, 10**9, 0)   # cold inserts
+  assert nxt == len(np.unique(ids))
+  t0 = time.perf_counter()
+  out = m.lookup(ids)
+  dt_probe = time.perf_counter() - t0
+  assert (out == rows).all()
+  t0 = time.perf_counter()
+  rows2, _ = m.train_lookup(ids, 10**9, nxt)  # hot path: all known
+  dt_train = time.perf_counter() - t0
+  assert (rows2 == rows).all()
+  print(f'idmap 1M ids: probe {dt_probe*1e3:.2f} ms, '
+        f'train-lookup {dt_train*1e3:.2f} ms')
+  assert dt_probe < 0.050, dt_probe   # parallel read probe
+  assert dt_train < 0.200, dt_train   # sequential lookup-or-insert
