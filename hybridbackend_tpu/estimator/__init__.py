@@ -35,6 +35,10 @@ LOG = logging.getLogger('hybridbackend_tpu')
 
 OPTIONS.register('save_checkpoint_steps', 0, env='HB_SAVE_CHECKPOINT_STEPS',
                  doc='Checkpoint every N steps (0 = only at end).')
+OPTIONS.register('summary_steps', 100, env='HB_SUMMARY_STEPS',
+                 doc='Write train-scalar TensorBoard summaries every N '
+                     'steps into model_dir (0 disables). Eval results '
+                     'are always summarized when a model_dir is set.')
 
 
 class Trainer:
@@ -58,6 +62,19 @@ class Trainer:
   _host_transform = None
   _eval_host_transform = None
   _cache_runner = None
+  _model_dir: Optional[str] = None
+  _summary = None
+
+  def _get_summary_writer(self):
+    """Chief-only lazy event writer into model_dir (reference
+    Policy.Trigger / EvaluationHook summaries, ``hooks.py:36-160``,
+    ``evaluation.py:111-327``)."""
+    if self._model_dir is None or not self._ctx.is_chief:
+      return None
+    if self._summary is None:
+      from hybridbackend_tpu.utils.summary import SummaryWriter
+      self._summary = SummaryWriter(self._model_dir)
+    return self._summary
 
   def __init__(self, loss_fn: Callable, params: Any,
                optimizer: Optional[optax.GradientTransformation] = None,
@@ -79,6 +96,7 @@ class Trainer:
     model_dir = model_dir or OPTIONS['model_dir']
     self._ckpt: Optional[CheckpointManager] = None
     if model_dir and model_dir != '.':
+      self._model_dir = model_dir
       self._ckpt = CheckpointManager(model_dir)
       restored = self._ckpt.restore(self.state)
       if restored is not self.state:
@@ -122,6 +140,12 @@ class Trainer:
     elif self._host_transform is not None:
       it = map(self._host_transform, it)
     hooks = list(hooks)
+    summary_steps = int(OPTIONS['summary_steps'])
+    if summary_steps:
+      writer = self._get_summary_writer()
+      if writer is not None:
+        from hybridbackend_tpu.training.hooks import SummaryHook
+        hooks.append(SummaryHook(writer, every_n_steps=summary_steps))
     for h in hooks:
       h.begin()
     metrics: Dict[str, float] = {}
@@ -230,6 +254,12 @@ class Trainer:
     }
     if self._group_key is not None:
       out['gauc'] = float(hbm.gauc_result(gauc_s))
+    writer = self._get_summary_writer()
+    if writer is not None:
+      writer.scalars(self.global_step,
+                     {'eval/' + k: v for k, v in out.items()
+                      if k != 'batches'})
+      writer.flush()
     return out
 
   def train_and_evaluate(self, train_batches_fn: Callable[[], Iterable],
@@ -363,6 +393,7 @@ class SparseTrainer(Trainer):
     model_dir = model_dir or OPTIONS['model_dir']
     self._ckpt = None
     if model_dir and model_dir != '.':
+      self._model_dir = model_dir
       self._ckpt = CheckpointManager(model_dir)
       restored = self._ckpt.restore(self.state)
       if restored is not self.state:

@@ -166,4 +166,32 @@ class LoggingHook(Policy):
     super().__init__(_cb, every_n_steps=every_n_steps)
 
 
-__all__ = ['Hook', 'StepStatHook', 'Policy', 'LoggingHook']
+class SummaryHook(Policy):
+  """Write train scalars as TensorBoard summaries every N steps
+  (reference ``Policy.Trigger``'s ``tf.summary`` writes,
+  ``hooks.py:36-160``). Pass a
+  :class:`hybridbackend_tpu.utils.summary.SummaryWriter` or a logdir
+  string."""
+
+  def __init__(self, writer, every_n_steps: int = 100,
+               prefix: str = 'train/'):
+    from hybridbackend_tpu.utils.summary import SummaryWriter
+    if isinstance(writer, str):
+      writer = SummaryWriter(writer)
+    self.writer = writer
+
+    def _cb(step, metrics):
+      vals = {}
+      for k, v in sorted(metrics.items()):
+        try:
+          vals[prefix + k] = float(np.asarray(v).mean())
+        except (TypeError, ValueError):
+          continue
+      writer.scalars(step, vals)
+    super().__init__(_cb, every_n_steps=every_n_steps)
+
+  def end(self, step: int) -> None:
+    self.writer.flush()
+
+
+__all__ = ['Hook', 'StepStatHook', 'Policy', 'LoggingHook', 'SummaryHook']
