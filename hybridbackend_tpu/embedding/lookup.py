@@ -78,7 +78,7 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   # high-duplicate workloads (DIN behavior sequences). Runs on raw ids
   # (before row mixing, which is bijective) so the recursion maps rows
   # exactly once.
-  ratio = float(OPTIONS['emb_unique_ratio'])
+  ratio = float(OPTIONS.get_for('emb_unique_ratio', config.name))
   if ratio < 1.0 and config.should_shard(ctx):
     from hybridbackend_tpu.embedding.unique import unique as _unique
     flat_ids = ids.reshape(-1)
@@ -104,7 +104,10 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   if not config.should_shard(ctx):
     return jnp.take(table, rows, axis=0)
 
-  strategy = strategy or OPTIONS['emb_lookup_strategy']
+  # Per-table strategy via the '*'-wildcard dict scope (the reference's
+  # DictOption, options.py:183-225):
+  #   hb.scope(emb_lookup_strategy={'user_id': 'alltoall', '*': 'allgather'})
+  strategy = strategy or OPTIONS.get_for('emb_lookup_strategy', config.name)
   orig_shape = rows.shape
   flat = rows.reshape(-1)
 

@@ -54,13 +54,18 @@ def build_stacks(configs: Sequence[TableConfig],
   sharded ones so the shard policy stays per-group.
   """
   ctx = ctx or Context.get()
+  from hybridbackend_tpu.framework.options import OPTIONS
   groups: Dict[Tuple, List[TableConfig]] = {}
   for cfg in configs:
     if cfg.shuffle_ids:
       key = ('solo', cfg.name)  # id-mixed tables keep their own space
     else:
+      # Per-table scoped lookup strategies (DictOption '*' wildcard)
+      # partition the stacks: members of one stack share one exchange,
+      # so they must share a strategy.
+      strat = OPTIONS.get_for('emb_lookup_strategy', cfg.name)
       key = (cfg.dim, str(cfg.dtype), cfg.should_shard(ctx),
-             cfg.partition)
+             cfg.partition, strat)
     groups.setdefault(key, []).append(cfg)
   stacks = []
   for key, members in groups.items():

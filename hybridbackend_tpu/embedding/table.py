@@ -83,11 +83,13 @@ class TableConfig:
     ctx = ctx or Context.get()
     if self.sharded is not None:
       return self.sharded and ctx.world_size > 1
-    if ctx.world_size <= 1 or not OPTIONS['emb_sharded']:
+    if ctx.world_size <= 1 or not OPTIONS.get_for('emb_sharded',
+                                                  self.name):
       return False
     if self.vocab_size < ctx.world_size:
       return False
-    if self.vocab_size < int(OPTIONS['emb_min_shard_rows']):
+    if self.vocab_size < int(OPTIONS.get_for('emb_min_shard_rows',
+                                             self.name)):
       return False
     return True
 

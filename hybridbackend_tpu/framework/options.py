@@ -105,6 +105,25 @@ class Options:
   def __getitem__(self, name: str) -> Any:
     return self.get(name)
 
+  def get_for(self, name: str, key: str) -> Any:
+    """Per-key resolution of a dict-valued option (the reference's
+    ``DictOption`` with ``'*'`` wildcard, ``options.py:183-225``).
+
+    A scope may set an option to ``{'user_id': 'alltoall',
+    '*': 'allgather'}``; ``get_for('emb_lookup_strategy', 'user_id')``
+    returns the per-key value, any other key gets the wildcard, and a
+    dict without a wildcard falls back to the registered default.
+    Scalar values resolve as usual.
+    """
+    v = self.get(name)
+    if isinstance(v, dict):
+      if key in v:
+        return v[key]
+      if '*' in v:
+        return v['*']
+      return self._options[name].resolve_default()
+    return v
+
   def set(self, name: str, value: Any) -> None:
     if name not in self._options:
       raise KeyError(f'Unknown option: {name!r}')

@@ -140,8 +140,14 @@ class StackedFeatureExtractor:
       if name not in member_ids:
         continue
       all_ids, layout = pack_ids(stack, member_ids[name])
+      # Resolve per-table scoped strategies against the MEMBER name
+      # (members of a stack share one by construction — build_stacks
+      # groups by resolved strategy).
+      from hybridbackend_tpu.framework.options import OPTIONS
+      strat = strategy or OPTIONS.get_for('emb_lookup_strategy',
+                                          stack.configs[0].name)
       raw[name] = lookup(tables[name], all_ids, stack.stacked,
-                         ctx=self._ctx, strategy=strategy)
+                         ctx=self._ctx, strategy=strat)
       ids_out[name] = all_ids
       layouts[name] = layout
     return raw, ids_out, layouts

@@ -167,3 +167,63 @@ def test_table_config_resolve_captures_scope_policy():
   assert not baked.should_shard()  # holds outside the scope too
   with hb.embedding_scope():
     assert cfg.resolve().sharded is True
+
+
+class TestDictOptions:
+  """Per-key scoped option values (reference DictOption with '*'
+  wildcard, options.py:183-225)."""
+
+  def test_get_for_wildcard(self):
+    from hybridbackend_tpu.framework.options import OPTIONS
+    with OPTIONS.override(
+        emb_lookup_strategy={'user_id': 'alltoall', '*': 'gspmd'}):
+      assert OPTIONS.get_for('emb_lookup_strategy', 'user_id') == 'alltoall'
+      assert OPTIONS.get_for('emb_lookup_strategy', 'item_id') == 'gspmd'
+
+  def test_get_for_no_wildcard_falls_to_default(self):
+    from hybridbackend_tpu.framework.options import OPTIONS
+    default = OPTIONS.get_for('emb_lookup_strategy', 'zzz')
+    with OPTIONS.override(emb_lookup_strategy={'user_id': 'alltoall'}):
+      assert OPTIONS.get_for('emb_lookup_strategy', 'zzz') == default
+
+  def test_scalar_value_unchanged(self):
+    from hybridbackend_tpu.framework.options import OPTIONS
+    with OPTIONS.override(emb_lookup_strategy='alltoall'):
+      assert OPTIONS.get_for('emb_lookup_strategy', 'any') == 'alltoall'
+
+  def test_per_table_strategy_in_lookup_hlo(self):
+    """Two tables under one dict scope take different exchange paths:
+    the alltoall table's HLO has an all-to-all, the gspmd one's none."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import hybridbackend_tpu as hb
+    from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
+    ctx = hb.Context.get()
+    cfg_a = TableConfig('ta', 512, 8)
+    cfg_b = TableConfig('tb', 512, 8)
+    ta = create_table(cfg_a, jax.random.PRNGKey(0), ctx)
+    tb = create_table(cfg_b, jax.random.PRNGKey(1), ctx)
+    ids = jnp.asarray(np.arange(64), jnp.int32)
+    with hb.scope(emb_lookup_strategy={'ta': 'alltoall', '*': 'gspmd'}):
+      hlo_a = jax.jit(lambda t, i: lookup(t, i, cfg_a, ctx=ctx)
+                      ).lower(ta, ids).compile().as_text()
+      hlo_b = jax.jit(lambda t, i: lookup(t, i, cfg_b, ctx=ctx)
+                      ).lower(tb, ids).compile().as_text()
+      out_a = np.asarray(lookup(ta, ids, cfg_a, ctx=ctx))
+      out_b = np.asarray(lookup(tb, ids, cfg_b, ctx=ctx))
+    assert 'all-to-all' in hlo_a
+    assert 'all-to-all' not in hlo_b
+    np.testing.assert_allclose(out_a, np.asarray(ta)[np.arange(64)],
+                               atol=1e-5)
+    np.testing.assert_allclose(out_b, np.asarray(tb)[np.arange(64)],
+                               atol=1e-5)
+
+  def test_per_table_sharding_policy(self):
+    from hybridbackend_tpu.embedding import TableConfig
+    import hybridbackend_tpu as hb
+    cfg = TableConfig('solo_small', 512, 8)
+    assert cfg.should_shard()
+    with hb.scope(emb_sharded={'solo_small': False, '*': True}):
+      assert not cfg.should_shard()
+      assert TableConfig('other', 512, 8).should_shard()
