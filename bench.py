@@ -98,9 +98,11 @@ def main():
       count += 1
     return 1000.0 * (time.time() - start) / max(count, 1)
 
-  # Best of two passes: this can run on shared single-vCPU hosts where
-  # a noisy neighbor inflates a single pass by 2x.
-  ms_per_step = min(one_pass(), one_pass())
+  # Median of 3 passes with the spread reported (VERDICT weak #8:
+  # report the distribution, not the best — noisy-neighbor inflation on
+  # shared hosts shows up in the spread instead of being hidden).
+  passes = sorted(one_pass() for _ in range(3))
+  ms_per_step = passes[1]
 
   ref = REF_MS_20T if threads >= 20 else REF_MS_1T
   print(json.dumps({
@@ -108,6 +110,7 @@ def main():
       'value': round(ms_per_step, 2),
       'unit': 'ms/step',
       'vs_baseline': round(ref / ms_per_step, 2),
+      'spread_ms': [round(p, 2) for p in passes],
   }))
 
 

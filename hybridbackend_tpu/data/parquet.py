@@ -110,7 +110,9 @@ class ParquetDataset:
                shuffle_buffer: Optional[int] = None,
                seed: int = 0,
                num_parallel_reads: Optional[int] = None,
-               format: str = 'parquet'):
+               format: str = 'parquet',
+               restore_columns: Sequence[str] = (),
+               restore_index: str = 'restore_idx'):
     self._files = _expand_files(filenames)
     self._format = format
     inferred = {f.name: f for f in infer_fields(self._files[0], format)}
@@ -143,6 +145,13 @@ class ParquetDataset:
       num_parallel_reads = int(OPTIONS['data_num_parallel_reads'])
     self._threads = num_parallel_reads
     self._tls = threading.local()
+    # In-pipeline dedup restoration (reference: deduplicate applied as
+    # a dataset stage inside .batch(), tabular/table.py:218-223): files
+    # stored with per-row-group deduplicated value columns + an index
+    # column are re-expanded per micro-batch BEFORE rebatch, so every
+    # emitted batch has uniform row counts.
+    self._restore = (list(restore_columns), restore_index) \
+        if restore_columns else None
 
   @property
   def fields(self) -> List[Field]:
@@ -323,12 +332,41 @@ class ParquetDataset:
     """Chain a background host→device ``DeviceIterator``."""
     return _prefetch(self, **kwargs)
 
+  def dedup(self, value_columns: Sequence[str], key_column: str,
+            index_column: str = 'restore_idx'):
+    """Transport dedup stage: collapse rows with equal keys, adding a
+    restore index (pair with ``.restore`` after prefetch). Reference:
+    ``data/deduplicate/dataset.py:29-67``."""
+    from hybridbackend_tpu.data.deduplicate import deduplicate
+    cols, key, idx = list(value_columns), key_column, index_column
+    return _map(self, lambda b: deduplicate(b, cols, key,
+                                            index_column=idx))
+
+  def restore(self, value_columns: Sequence[str],
+              index_column: str = 'restore_idx'):
+    """Re-expand columns collapsed by ``.dedup`` (or stored
+    deduplicated). Reference restore inside ``.batch()``,
+    ``tabular/table.py:218-223``."""
+    from hybridbackend_tpu.data.deduplicate import restore_deduplicated
+    cols, idx = list(value_columns), index_column
+    return _map(self, lambda b: restore_deduplicated(b, cols, idx))
+
   def __iter__(self) -> Iterator[Batch]:
-    it = self._native_iter()
-    if it is not None:
-      return it
+    if self._restore is None:
+      it = self._native_iter()
+      if it is not None:
+        return it
     from hybridbackend_tpu.data.rebatch import rebatch
-    return rebatch(self._iter_micro_batches(), self._batch_size,
+    micro = self._iter_micro_batches()
+    if self._restore is not None:
+      from hybridbackend_tpu.data.deduplicate import restore_deduplicated
+      cols, idx = self._restore
+
+      def _restored(src):
+        for b in src:
+          yield restore_deduplicated(b, cols, idx)
+      micro = _restored(micro)
+    return rebatch(micro, self._batch_size,
                    drop_remainder=self._drop_remainder,
                    shuffle=self._shuffle,
                    shuffle_buffer=self._shuffle_buffer,
@@ -350,6 +388,8 @@ class _TransformedDataset:
   repeat = lambda self, n=None: _repeat(self, n)
   take = lambda self, n: _take(self, n)
   prefetch = lambda self, **kw: _prefetch(self, **kw)
+  dedup = ParquetDataset.dedup
+  restore = ParquetDataset.restore
 
 
 def _map(ds, fn):

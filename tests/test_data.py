@@ -387,3 +387,60 @@ def test_dataset_combinators(tmp_path):
   assert len(dev) == 2
   import jax
   assert isinstance(dev[0]['a'], jax.Array)
+
+
+class TestInPipelineDedup:
+  """Dedup as dataset stages (reference applies deduplicate inside
+  .batch(), tabular/table.py:218-223)."""
+
+  def _write(self, path, n=64):
+    import pandas as pd
+    rng = np.random.RandomState(0)
+    user = np.repeat(np.arange(n // 4), 4)     # 4 rows per user
+    df = pd.DataFrame({
+        'user': user,
+        'profile': (user * 10).astype(np.float64),  # user-level dup col
+        'click': rng.randint(0, 2, n).astype(np.int64),
+    })
+    df.to_parquet(path)
+    return df
+
+  def test_dedup_restore_roundtrip(self, tmp_path):
+    p = str(tmp_path / 'd.parquet')
+    df = self._write(p)
+    ds = ParquetDataset([p], batch_size=16)
+    chained = ds.dedup(['profile'], key_column='user').restore(['profile'])
+    got = list(chained)
+    orig = list(ParquetDataset([p], batch_size=16))
+    assert len(got) == len(orig)
+    for a, b in zip(got, orig):
+      np.testing.assert_array_equal(a['profile'], b['profile'])
+      np.testing.assert_array_equal(a['click'], b['click'])
+
+  def test_dedup_shrinks_transport(self, tmp_path):
+    p = str(tmp_path / 'd.parquet')
+    self._write(p)
+    ds = ParquetDataset([p], batch_size=16).dedup(['profile'],
+                                                  key_column='user')
+    b = next(iter(ds))
+    assert b['profile'].shape[0] == 4    # 4 unique users per 16 rows
+    assert b['restore_idx'].shape[0] == 16
+
+  def test_constructor_restore_of_stored_dedup(self, tmp_path):
+    """Files stored with row-group-local deduplicated value columns
+    (unique rows first, padding after) + a restore_idx column."""
+    import pandas as pd
+    p = str(tmp_path / 's.parquet')
+    n = 32
+    uniq_vals = np.arange(8, dtype=np.float64) * 100
+    restore_idx = np.tile(np.arange(8), 4)
+    feat_col = np.concatenate([uniq_vals, np.zeros(n - 8)])  # padded
+    pd.DataFrame({'feat': feat_col,
+                  'restore_idx': restore_idx.astype(np.int64),
+                  'y': np.arange(n, dtype=np.int64)}).to_parquet(p)
+    ds = ParquetDataset([p], batch_size=8,
+                        restore_columns=['feat'])
+    batches = list(ds)
+    all_feat = np.concatenate([b['feat'] for b in batches])
+    np.testing.assert_array_equal(all_feat, uniq_vals[restore_idx])
+    assert all(('restore_idx' not in b) for b in batches)
