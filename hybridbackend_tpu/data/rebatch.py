@@ -50,9 +50,17 @@ class RebatchBuffer:
     self._rows += n
 
   def take(self, n: int) -> Batch:
-    """Remove and return exactly ``n`` rows (caller checks ``rows``)."""
+    """Remove and return exactly ``n`` rows (caller checks ``rows``).
+
+    With ``shuffle``, the ``n`` rows are sampled uniformly (without
+    replacement) from the ENTIRE buffered window — true reservoir-style
+    shuffling like the reference's shuffle buffer, not merely a
+    permutation within the emitted batch.
+    """
     if n > self._rows:
       raise ValueError(f'take({n}) > buffered rows {self._rows}')
+    if self._shuffle:
+      return self._take_sampled(n)
     taken: List[Batch] = []
     got = 0
     while got < n:
@@ -74,9 +82,23 @@ class RebatchBuffer:
     else:
       keys = taken[0].keys()
       out = {k: concat_columns([t[k] for t in taken]) for k in keys}
-    if self._shuffle:
-      perm = self._rng.permutation(n)
-      out = {k: take_rows(v, perm) for k, v in out.items()}
+    return out
+
+  def _take_sampled(self, n: int) -> Batch:
+    if len(self._chunks) > 1:
+      keys = self._chunks[0].keys()
+      self._chunks = [{k: concat_columns([c[k] for c in self._chunks])
+                       for k in keys}]
+    chunk = self._chunks[0]
+    perm = self._rng.permutation(self._rows)
+    sel = perm[:n]
+    rest = np.sort(perm[n:])           # remaining rows keep stream order
+    out = {k: take_rows(v, sel) for k, v in chunk.items()}
+    if len(rest):
+      self._chunks = [{k: take_rows(v, rest) for k, v in chunk.items()}]
+    else:
+      self._chunks = []
+    self._rows -= n
     return out
 
 

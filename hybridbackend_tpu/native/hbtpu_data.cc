@@ -154,17 +154,50 @@ class RebatchBuffer {
   }
 
   // Emits n rows into out[ncols]; allocations/tables recorded in token.
+  //
+  // Shuffle semantics: rows are drawn as random sub-runs (<= n/8 rows)
+  // from RANDOM buffered chunks across the whole window (weighted by
+  // availability), then permuted within the batch — rows genuinely mix
+  // across row groups like the reference's shuffle buffer, while the
+  // emit paths keep their contiguous-span memcpy fast path. (The
+  // Python rebatcher additionally offers row-exact uniform window
+  // sampling.)
   arrow::Status Take(int64_t n, ColDesc* out, BatchToken* token) {
     std::vector<Span> spans;
     int64_t got = 0;
-    while (got < n) {
-      auto& front = chunks_.front();
-      int64_t avail = front.table->num_rows() - front.consumed;
-      int64_t take = std::min(avail, n - got);
-      spans.push_back({front.table, front.consumed, take});
-      front.consumed += take;
-      got += take;
-      if (front.consumed == front.table->num_rows()) chunks_.pop_front();
+    if (!shuffle_) {
+      while (got < n) {
+        auto& front = chunks_.front();
+        int64_t avail = front.table->num_rows() - front.consumed;
+        int64_t take = std::min(avail, n - got);
+        spans.push_back({front.table, front.consumed, take});
+        front.consumed += take;
+        got += take;
+        if (front.consumed == front.table->num_rows()) chunks_.pop_front();
+      }
+    } else {
+      const int64_t max_run = std::max<int64_t>(1, n / 8);
+      while (got < n) {
+        int64_t remaining = rows_ - got;
+        int64_t target = std::uniform_int_distribution<int64_t>(
+            0, remaining - 1)(rng_);
+        size_t ci = 0;
+        for (; ci + 1 < chunks_.size(); ++ci) {
+          int64_t avail =
+              chunks_[ci].table->num_rows() - chunks_[ci].consumed;
+          if (target < avail) break;
+          target -= avail;
+        }
+        auto& ch = chunks_[ci];
+        int64_t avail = ch.table->num_rows() - ch.consumed;
+        int64_t take = std::min({avail, n - got, max_run});
+        spans.push_back({ch.table, ch.consumed, take});
+        ch.consumed += take;
+        got += take;
+        if (ch.consumed == ch.table->num_rows()) {
+          chunks_.erase(chunks_.begin() + ci);
+        }
+      }
     }
     rows_ -= n;
     std::vector<int64_t> perm;

@@ -444,3 +444,25 @@ class TestInPipelineDedup:
     all_feat = np.concatenate([b['feat'] for b in batches])
     np.testing.assert_array_equal(all_feat, uniq_vals[restore_idx])
     assert all(('restore_idx' not in b) for b in batches)
+
+
+def test_python_shuffle_samples_whole_window(workdir):
+  """Python rebatch path: rows sampled uniformly from the whole buffered
+  window (row-exact), still a permutation overall."""
+  path = os.path.join(workdir, 's.parquet')
+  pd.DataFrame({'x': np.arange(400, dtype=np.int64)}).to_parquet(
+      path, row_group_size=50)
+  ds = ParquetDataset(path, batch_size=50, shuffle=True,
+                      shuffle_buffer=200, seed=3, num_parallel_reads=1)
+  import hybridbackend_tpu.native.tabular as nt
+  orig = nt.available
+  nt.available = lambda: False
+  try:
+    batches = [b['x'] for b in ds]
+  finally:
+    nt.available = orig
+  first = batches[0]
+  groups = set(np.asarray(first) // 50)
+  assert len(groups) >= 3, groups   # drawn row-exact from a 200-row window
+  allx = np.concatenate(batches)
+  np.testing.assert_array_equal(np.sort(allx), np.arange(400))

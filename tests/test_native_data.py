@@ -233,3 +233,19 @@ def test_null_strings_consistent_across_paths(monkeypatch):
   monkeypatch.setattr(native_tabular, 'available', lambda: False)
   python = [s for b in ParquetDataset(p, batch_size=3) for s in b['s']]
   assert native == python == ['x', '', 'y']
+
+
+def test_shuffle_mixes_across_row_groups(tmp_path):
+  """Window shuffling must mix rows ACROSS buffered row groups, not just
+  permute within each emitted batch (ADVICE r1: shuffle_buffer was
+  cosmetic)."""
+  import pandas as pd
+  p = str(tmp_path / 'o.parquet')
+  pd.DataFrame({'x': np.arange(400, dtype=np.int64)}).to_parquet(
+      p, row_group_size=50)
+  ds = ParquetDataset(p, batch_size=50, shuffle=True, shuffle_buffer=200,
+                      seed=3, num_parallel_reads=1)
+  assert ds._native_iter() is not None
+  first = next(iter(ds))['x']
+  groups = set(np.asarray(first) // 50)
+  assert len(groups) >= 2, groups
