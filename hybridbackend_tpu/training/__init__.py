@@ -4,6 +4,7 @@ from hybridbackend_tpu.training.optimizer import (
     is_embedding_path, split_trees, multi_optimizer, sharding_aware_init)
 from hybridbackend_tpu.training.checkpoint import CheckpointManager
 from hybridbackend_tpu.training.hooks import (
+    SummaryHook,
     Hook, StepStatHook, Policy, LoggingHook)
 from hybridbackend_tpu.training.sparse_step import (
     SparseTrainState, make_sparse_train_step)
