@@ -4,3 +4,6 @@ from hybridbackend_tpu.embedding.lookup import lookup, lookup_sparse
 from hybridbackend_tpu.embedding.unique import unique, UniqueResult
 from hybridbackend_tpu.embedding.stack import (
     TableStack, build_stacks, create_stacked_tables, stacked_lookup)
+from hybridbackend_tpu.embedding.dynamic import DynamicEmbedding, IdMapper
+from hybridbackend_tpu.embedding.service import (
+    CachePlan, CacheRunner, EmbeddingCache, InMemoryStorage, Storage)
