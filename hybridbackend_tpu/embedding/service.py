@@ -367,6 +367,15 @@ class CacheRunner:
           acc=tuple(arrays[f'slot{i}'] for i in range(nslots)))
     return dataclasses.replace(state, tables=tables, table_opt=topt)
 
+  def drain(self, state):
+    """Apply every pending plan (planned-but-unstepped prefetched
+    batches at loop exit): keeps the slot metadata and the arrays
+    consistent — a plan's uploads/write-backs are valid regardless of
+    whether its batch ever trained."""
+    while self._plans:
+      state = self.apply_next(state)
+    return state
+
   def flush(self, state) -> None:
     """Write all resident rows back (call before checkpoint saves)."""
     for col, cache in self._caches.items():

@@ -177,6 +177,11 @@ class Trainer:
     finally:
       if isinstance(it, DeviceIterator):
         it.close()
+      if self._cache_runner is not None:
+        # Prefetched batches may have been planned but never stepped;
+        # apply their cache effects so slot metadata stays consistent
+        # with the arrays.
+        self.state = self._cache_runner.drain(self.state)
       for h in hooks:
         h.end(self.global_step)
       if self._ckpt:

@@ -340,3 +340,50 @@ def test_idmap_speed_1m_ids():
         f'train-lookup {dt_train*1e3:.2f} ms')
   assert dt_probe < 0.050, dt_probe   # parallel read probe
   assert dt_train < 0.200, dt_train   # sequential lookup-or-insert
+
+
+def test_cache_runner_drain_keeps_metadata_consistent():
+  """Plans created for prefetched batches that never step must still be
+  applied (drain): otherwise the slot map says a row is resident while
+  its upload never reached the arrays."""
+  import jax.numpy as jnp
+  import optax
+  from hybridbackend_tpu.embedding import TableConfig
+  from hybridbackend_tpu.embedding.service import EmbeddingCache
+  from hybridbackend_tpu.estimator import SparseTrainer
+  from hybridbackend_tpu.models import EmbeddingSpec, StackedFeatureExtractor
+  VOCAB, CAP, DIM = 500, 64, 8
+  rng = np.random.RandomState(0)
+  host_value = (rng.randn(VOCAB, DIM) * 0.1).astype(np.float32)
+  cache = EmbeddingCache(
+      TableConfig('big', VOCAB, DIM), CAP,
+      host_tables={'value': host_value.copy(),
+                   'slot0': np.full((VOCAB, DIM), 0.1, np.float32)})
+  specs = [EmbeddingSpec(cache.slot_config(), column='big')]
+  fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+  dense = {'w': jnp.zeros((DIM + 1, 1), jnp.float32)}
+
+  def ml(dense_p, emb_f, dense_f, b):
+    x = jnp.concatenate(emb_f + dense_f, axis=-1)
+    p = jnp.clip(jax.nn.sigmoid((x @ dense_p['w'])[:, 0]), 1e-6, 1 - 1e-6)
+    return -jnp.mean(b['label'] * jnp.log(p)
+                     + (1 - b['label']) * jnp.log(1 - p)), {}
+
+  tr = SparseTrainer(fx, ml, dense, dense_optimizer=optax.sgd(0.1),
+                     rng=jax.random.PRNGKey(0), caches={'big': cache})
+  runner = tr._cache_runner
+  ids1 = np.arange(0, 16, dtype=np.int64)
+  ids2 = np.arange(40, 56, dtype=np.int64)
+  b1 = runner.transform({'big': ids1})
+  b2 = runner.transform({'big': ids2})
+  del b1, b2
+  state = runner.apply_next(tr.state)   # plan 1 applied
+  state = runner.drain(state)           # plan 2 drained, never stepped
+  stack = fx._stack_of['big']
+  _, off = stack.member('big')
+  tbl = np.asarray(state.tables[stack.stacked.name])
+  for i in np.concatenate([ids1, ids2]):
+    slot = int(cache.lookup_slots(np.asarray([i]))[0])
+    assert slot >= 0
+    np.testing.assert_allclose(tbl[off + slot], host_value[i],
+                               atol=1e-6)
