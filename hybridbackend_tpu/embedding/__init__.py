@@ -7,3 +7,5 @@ from hybridbackend_tpu.embedding.stack import (
 from hybridbackend_tpu.embedding.dynamic import DynamicEmbedding, IdMapper
 from hybridbackend_tpu.embedding.service import (
     CachePlan, CacheRunner, EmbeddingCache, InMemoryStorage, Storage)
+from hybridbackend_tpu.embedding.planner import (
+    TablePlan, plan_scope_options, plan_sharding)

@@ -1,0 +1,169 @@
+"""Cost-model sharding planner for embedding tables.
+
+The reference shards every table above a size threshold
+(``/root/reference/hybridbackend/tensorflow/embedding/sharding.py:67-75``);
+research systems (AutoShard, RecShard, DreamShard — see PAPERS.md) show
+per-table *cost-model* decisions beat one threshold. This module is the
+TPU-native form: an analytic per-table model of bytes moved per step and
+HBM held per device for each placement, returning a plan that routes
+through the per-table DictOption scopes
+(:meth:`hybridbackend_tpu.framework.options.Options.get_for`).
+
+Model (per table, per step, float32 elements; ``W`` world size, ``B``
+global flat ids per step, ``D`` dim, ``V`` vocab, ``u`` expected unique
+fraction of ``B``):
+
+* replicated — HBM ``V*D*4`` on EVERY device; forward free; backward
+  all-gathers the global (rows, grads) payload: ``~B*(D+1)*4`` per
+  device.
+* row-sharded, allgather exchange — HBM ``V*D*4/W``; forward moves ids
+  ``B*4`` + a reduce-scattered embedding payload ``~B*D*4``; backward
+  (alltoall gradient return) ``~2*s*B/W*(D+1)*4`` with bucket slack
+  ``s``.
+* row-sharded, alltoall exchange — forward ``~2*s*u*B/W*(D+1)*4``
+  (bucketed ids out, embeddings back): wins over allgather when the
+  deduplicated payload is small (hot/skewed id distributions).
+* column-sharded — HBM ``V*D*4/W``; forward ``B*4`` ids +
+  ``B*D*4*(W-1)/W`` embedding alltoall; sensible for very large ``D``
+  where per-row slices still fill lanes.
+
+The plan is a *starting point* measured in bytes — profile and override
+(every knob remains a scoped option).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional, Sequence
+
+from hybridbackend_tpu.framework.context import Context
+
+
+@dataclasses.dataclass(frozen=True)
+class TablePlan:
+  """Chosen placement for one table (all fields map to options)."""
+  sharded: bool
+  partition: str          # 'row' | 'column'
+  strategy: str           # lookup strategy when sharded
+  hbm_bytes_per_device: int
+  comm_bytes_per_step: int
+
+
+def _cost_replicated(v, d, b):
+  return v * d * 4, int(b * (d + 1) * 4)
+
+
+def _cost_row_allgather(v, d, b, w, slack):
+  fwd = b * 4 + b * d * 4
+  bwd = 2 * slack * (b // max(w, 1)) * (d + 1) * 4
+  return v * d * 4 // w, int(fwd + bwd)
+
+
+def _cost_row_alltoall(v, d, b, w, u, slack):
+  per_dev = max(1, int(u * b) // max(w, 1))
+  fwd = 2 * slack * per_dev * (d + 1) * 4
+  bwd = 2 * slack * per_dev * (d + 1) * 4
+  return v * d * 4 // w, int(fwd + bwd)
+
+
+def _cost_column(v, d, b, w):
+  fwd = b * 4 + b * d * 4 * (w - 1) // max(w, 1)
+  return v * d * 4 // w, int(2 * fwd)
+
+
+def plan_sharding(configs: Sequence,
+                  global_batch_ids: Mapping[str, int],
+                  unique_fraction: Optional[Mapping[str, float]] = None,
+                  hbm_budget_bytes: Optional[int] = None,
+                  bucket_slack: float = 2.0,
+                  column_min_dim: int = 256,
+                  ctx: Optional[Context] = None
+                  ) -> Dict[str, TablePlan]:
+  """Pick a placement per table by analytic cost.
+
+  Args:
+    configs: ``TableConfig``s (only ``name``/``vocab_size``/``dim``
+      read).
+    global_batch_ids: per-table flat ids per global step (e.g.
+      ``batch * avg_multivalence``).
+    unique_fraction: per-table expected unique-id fraction of the
+      global batch (measure it: ``len(np.unique(ids)) / len(ids)``);
+      default 1.0 (no dedup win assumed).
+    hbm_budget_bytes: per-device budget for REPLICATED tables — a
+      replicated choice that would exceed the remaining budget is
+      forced to shard (RecShard-style capacity constraint).
+    bucket_slack: alltoall bucket capacity slack (matches
+      ``emb_update_bucket_ratio``).
+    column_min_dim: consider column sharding only at/above this dim
+      (below it, per-device lane slices underfill the VPU/MXU).
+
+  Returns ``{table_name: TablePlan}``; apply with
+  :func:`plan_scope_options`.
+  """
+  ctx = ctx or Context.get()
+  w = ctx.world_size
+  uniq = dict(unique_fraction or {})
+  plans: Dict[str, TablePlan] = {}
+  replicated_budget = hbm_budget_bytes
+  # Each collective hop pays a latency floor independent of payload —
+  # modeled as bytes-equivalent. Replication's local gather has one
+  # backward collective; the exchanges pay 3-6 hops.
+  HOP = 32 * 1024
+  # A byte HELD costs a small fraction of a byte MOVED per step:
+  # keeps replication from winning on comm alone for giant tables even
+  # without an explicit budget.
+  MEM_W = 0.01
+  # Small tables first so the replication budget goes to the tables
+  # that benefit most per byte (small hot tables).
+  order = sorted(configs, key=lambda c: c.vocab_size * c.dim)
+  for cfg in order:
+    v, d = cfg.vocab_size, cfg.dim
+    b = int(global_batch_ids.get(cfg.name, 0)) or 1
+    u = float(uniq.get(cfg.name, 1.0))
+    if w <= 1:
+      plans[cfg.name] = TablePlan(False, 'row', 'allgather',
+                                  v * d * 4, 0)
+      continue
+    candidates = {}
+    mem, comm = _cost_replicated(v, d, b)
+    over_budget = (replicated_budget is not None
+                   and mem > replicated_budget)
+    if not over_budget:
+      candidates[('replicated', 'row', 'allgather')] = (
+          mem, comm + 1 * HOP)
+    mem, comm = _cost_row_allgather(v, d, b, w, bucket_slack)
+    candidates[('sharded', 'row', 'allgather')] = (mem, comm + 4 * HOP)
+    mem, comm = _cost_row_alltoall(v, d, b, w, u, bucket_slack)
+    candidates[('sharded', 'row', 'alltoall')] = (mem, comm + 6 * HOP)
+    if d >= column_min_dim:
+      mem, comm = _cost_column(v, d, b, w)
+      candidates[('sharded', 'column', 'allgather')] = (
+          mem, comm + 3 * HOP)
+    (kind, part, strat), (mem, comm) = min(
+        candidates.items(), key=lambda kv: kv[1][1] + MEM_W * kv[1][0])
+    if kind == 'replicated' and replicated_budget is not None:
+      replicated_budget -= mem
+    plans[cfg.name] = TablePlan(kind == 'sharded', part, strat, mem,
+                                comm)
+  return plans
+
+
+def plan_scope_options(plans: Mapping[str, TablePlan]) -> Dict[str, Dict]:
+  """Convert a plan into per-table DictOption scopes::
+
+      with hb.scope(**plan_scope_options(plans)):
+          fx = StackedFeatureExtractor(specs, ...)   # resolve at build
+          ...
+
+  Only ``emb_sharded`` and ``emb_lookup_strategy`` are scoped; column
+  partitioning is a ``TableConfig(partition='column')`` property — the
+  plan reports it so callers can set it on the config.
+  """
+  return {
+      'emb_sharded': {name: p.sharded for name, p in plans.items()},
+      'emb_lookup_strategy': {name: p.strategy
+                              for name, p in plans.items()},
+  }
+
+
+__all__ = ['TablePlan', 'plan_sharding', 'plan_scope_options']
