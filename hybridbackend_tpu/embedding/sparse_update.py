@@ -55,6 +55,14 @@ OPTIONS.register(
         '133k updates on v5e; per-row gradient totals rounded to '
         'bf16 precision).')
 OPTIONS.register(
+    'emb_update_touched_blocks', 0, env='HB_EMB_UPDATE_TOUCHED_BLOCKS',
+    doc='Sparse-grid mode of the stream update kernel: stream ONLY the '
+        'touched table blocks (at most this many; more distinct touched '
+        'blocks falls back to the full stream via lax.cond — lossless). '
+        '0 = off. Wins when updates << vocab (huge tables, modest '
+        'batches); set to ~1.2x the expected distinct touched blocks, '
+        'e.g. unique_ids_per_step when blocks are sparse.')
+OPTIONS.register(
     'emb_update_exchange', 'alltoall', env='HB_EMB_UPDATE_EXCHANGE',
     doc="Gradient-return exchange for row-sharded tables: 'alltoall' "
         "(default; bucketed owner-routed exchange — bytes per device "
@@ -114,6 +122,8 @@ def _stream_adagrad(table, acc, rows, g, lr, eps):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
+  if OPTIONS['emb_update_touched_blocks']:
+    kwargs['touched_blocks'] = int(OPTIONS['emb_update_touched_blocks'])
   return adagrad_update_sorted(table, acc, rows[order], g[order],
                                lr=lr, eps=float(eps),
                                interpret=interpret, **kwargs)
@@ -483,6 +493,8 @@ def _stream_sgd(table, rows, g, lr):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
+  if OPTIONS['emb_update_touched_blocks']:
+    kwargs['touched_blocks'] = int(OPTIONS['emb_update_touched_blocks'])
   return scatter_add_sorted(table, rows[order], (-lr) * g[order],
                             interpret=interpret, **kwargs)
 
@@ -557,6 +569,8 @@ def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
+  if OPTIONS['emb_update_touched_blocks']:
+    kwargs['touched_blocks'] = int(OPTIONS['emb_update_touched_blocks'])
   return adam_update_sorted(table, m, v, rows[order], g[order],
                             lr=lr, step=step, b1=float(b1), b2=float(b2),
                             eps=float(eps), interpret=interpret, **kwargs)

@@ -46,7 +46,8 @@ _CHUNK = 128         # update rows DMA'd per inner iteration (smaller
 def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
                     upd_s, gsum_s, sems, *, block_rows, chunk,
                     mode, eps, precision,
-                    lr_ref=None, acc_ref=None, acc_out_ref=None):
+                    lr_ref=None, acc_ref=None, acc_out_ref=None,
+                    touched=False):
   """Grid dim 0 walks table blocks.
 
   The per-block update is computed as a ONE-HOT MXU MATMUL, not a
@@ -67,21 +68,39 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
   [nchunks, chunk] (a few hundred KB). upd_s: VMEM [chunk, 128·k]
   staging; gsum_s: VMEM [block_rows, lane-padded D] accumulator.
   """
-  b = pl.program_id(0)
-  start = starts_ref[b]
-  end = starts_ref[b + 1]
+  if touched:
+    # Touched-block mode: the grid walks a scalar-prefetched LIST of
+    # touched blocks instead of the whole table — iteration i handles
+    # physical block meta[0, i] with update range [meta[1, i],
+    # meta[2, i]). Untouched blocks are never DMA'd (input/output
+    # aliasing leaves them in place); list padding repeats the last
+    # touched block with an empty range (consecutive revisits, which
+    # the pipeline allows).
+    i = pl.program_id(0)
+    b = starts_ref[0, i]
+    start = starts_ref[1, i]
+    end = starts_ref[2, i]
+  else:
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    end = starts_ref[b + 1]
 
   # Fast path for blocks with no updates (zipf-skewed real workloads
   # leave most of the table untouched each step): pure pass-through,
-  # no gsum zeroing, no matmul, no optimizer math.
-  @pl.when(end <= start)
-  def _():
-    out_ref[...] = tbl_ref[...]
-    if mode == 'adagrad':
-      acc_out_ref[...] = acc_ref[...]
-    elif mode == 'adam':
-      acc_out_ref[0][...] = acc_ref[0][...]
-      acc_out_ref[1][...] = acc_ref[1][...]
+  # no gsum zeroing, no matmul, no optimizer math. In touched mode an
+  # empty range only occurs on PADDING revisits of the last touched
+  # block — the out buffer already holds that block's updated content
+  # (consecutive revisits stay resident), so writing the (stale) input
+  # would clobber it: do nothing instead.
+  if not touched:
+    @pl.when(end <= start)
+    def _():
+      out_ref[...] = tbl_ref[...]
+      if mode == 'adagrad':
+        acc_out_ref[...] = acc_ref[...]
+      elif mode == 'adam':
+        acc_out_ref[0][...] = acc_ref[0][...]
+        acc_out_ref[1][...] = acc_ref[1][...]
 
   @pl.when(end > start)
   def _():
@@ -158,6 +177,37 @@ def _block_starts(rows: jax.Array, vocab: int, block_rows: int
   return jnp.searchsorted(rows, bounds, side='left').astype(jnp.int32)
 
 
+def _touched_meta(sorted_ids: jax.Array, starts: jax.Array, vocab: int,
+                  block_rows: int, g_max: int
+                  ) -> Tuple[jax.Array, jax.Array]:
+  """Touched-block list for the sparse-grid mode.
+
+  Returns ``(meta [3, g_max] int32, overflow)``: ``meta[0]`` the
+  touched block ids (padded by repeating the last, so revisits are
+  consecutive), ``meta[1]/meta[2]`` each iteration's update range
+  (empty for padding). ``overflow`` = more than ``g_max`` distinct
+  touched blocks — the caller must fall back to the full stream (the
+  touched grid would silently drop updates).
+  """
+  blocks = (sorted_ids // block_rows).astype(jnp.int32)
+  valid = (sorted_ids >= 0) & (sorted_ids < vocab)
+  vb = jnp.where(valid, blocks, -1)
+  neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), vb[1:] != vb[:-1]])
+  is_first = valid & neq
+  kcum = jnp.cumsum(is_first.astype(jnp.int32))
+  count = kcum[-1]
+  pos = jnp.where(is_first, kcum - 1, g_max)
+  blist = jnp.zeros((g_max,), jnp.int32).at[pos].set(vb, mode='drop')
+  last = blist[jnp.maximum(count - 1, 0)]
+  inlist = jnp.arange(g_max) < count
+  blist = jnp.where(inlist, blist, last)
+  bstart = starts[blist]
+  bend = jnp.where(inlist, starts[blist + 1], bstart)
+  # count == 0 (no valid updates) must also take the full-stream path:
+  # a touched grid with nothing to write would flush garbage.
+  return jnp.stack([blist, bstart, bend]), (count > g_max) | (count == 0)
+
+
 def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK
                 ) -> Tuple[jax.Array, jax.Array]:
   """Pad the update list with OOB sentinel rows to a chunk multiple,
@@ -202,20 +252,27 @@ def sorted_segment_totals(ids: jax.Array, g: jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=('block_rows', 'chunk',
-                                             'precision', 'interpret'))
+                                             'precision', 'interpret',
+                                             'touched_blocks'))
 def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                        updates: jax.Array,
                        block_ids: Optional[jax.Array] = None,
                        block_rows: int = _BLOCK_ROWS,
                        chunk: int = _CHUNK,
                        precision: str = 'highest',
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       touched_blocks: int = 0) -> jax.Array:
   """``table.at[rows].add(updates)`` for SORTED rows, as a table stream.
 
   rows: int32 [N] ascending; -1 or >= vocab entries are ignored.
   block_ids: optional fully-sorted ids used for block-range computation
     when ``rows`` contains -1 holes (see :func:`sorted_segment_totals`).
   Uneven ``table.shape[0]`` is handled (the tail block is masked).
+  touched_blocks: > 0 enables the SPARSE grid — only the (at most
+    ``touched_blocks``) blocks that actually have updates are streamed;
+    the rest are never DMA'd. Wins when updates << vocab (huge tables,
+    modest batches). More distinct touched blocks than the cap falls
+    back to the full stream via ``lax.cond`` — never drops updates.
   """
   v, d = table.shape
   if block_ids is None:
@@ -226,38 +283,54 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                               updates.astype(table.dtype), chunk)
   starts = _block_starts(block_ids, v, block_rows)
   rows = rows.reshape(-1, chunk)
-  grid = (pl.cdiv(v, block_rows),)
-  kernel = functools.partial(
-      _scatter_kernel, block_rows=block_rows, chunk=chunk, mode='add',
-      eps=0.0, precision=jax.lax.Precision(precision.lower()))
-  return pl.pallas_call(
-      kernel,
-      grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=1,
-          grid=grid,
-          in_specs=[
-              pl.BlockSpec(memory_space=pltpu.VMEM),    # rows (resident)
-              pl.BlockSpec(memory_space=pltpu.ANY),     # updates (HBM)
-              pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
-                           memory_space=pltpu.VMEM),    # table block in
-          ],
-          out_specs=pl.BlockSpec((block_rows, d), lambda b, s: (b, 0),
-                                 memory_space=pltpu.VMEM),
-          scratch_shapes=[
-              pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
-              pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
-              pltpu.SemaphoreType.DMA((2,)),
-          ],
-      ),
-      out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
-      input_output_aliases={3: 0},  # table buffer updated in place
-      interpret=interpret,
-  )(starts, rows, updates, table)
+  nblocks = pl.cdiv(v, block_rows)
+
+  def call(s0, grid, touched, tbl):
+    kernel = functools.partial(
+        _scatter_kernel, block_rows=block_rows, chunk=chunk, mode='add',
+        eps=0.0, precision=jax.lax.Precision(precision.lower()),
+        touched=touched)
+    imap = (lambda b, s: (s[0, b], 0)) if touched else \
+        (lambda b, s: (b, 0))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # updates (HBM)
+                pl.BlockSpec((block_rows, d), imap,
+                             memory_space=pltpu.VMEM),  # table block in
+            ],
+            out_specs=pl.BlockSpec((block_rows, d), imap,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
+                pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
+        input_output_aliases={3: 0},  # table buffer updated in place
+        interpret=interpret,
+    )(s0, rows, updates, tbl)
+
+  if not touched_blocks or touched_blocks >= nblocks:
+    return call(starts, nblocks, False, table)
+  meta, overflow = _touched_meta(block_ids, starts, v, block_rows,
+                                 touched_blocks)
+  return jax.lax.cond(
+      overflow,
+      lambda t: call(starts, nblocks, False, t),
+      lambda t: call(meta, touched_blocks, True, t),
+      table)
 
 
 @functools.partial(jax.jit, static_argnames=('eps', 'block_rows',
                                              'chunk', 'precision',
-                                             'interpret'))
+                                             'interpret',
+                                             'touched_blocks'))
 def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           rows: jax.Array, updates: jax.Array,
                           lr, eps: float = 1e-7,
@@ -265,13 +338,17 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           block_rows: int = _BLOCK_ROWS,
                           chunk: int = _CHUNK,
                           precision: str = 'highest',
-                          interpret: bool = False
+                          interpret: bool = False,
+                          touched_blocks: int = 0
                           ) -> Tuple[jax.Array, jax.Array]:
   """Fused sparse Adagrad: one table stream updates accumulator AND
   table (``acc[r] += g²; table[r] -= lr·g/sqrt(acc[r]+eps)``), rows
   sorted. Duplicate rows are combined into per-row gradient TOTALS by
   the one-hot matmul before squaring — exact Adagrad semantics, no
-  pre-deduplication needed. Returns (table, acc)."""
+  pre-deduplication needed. Returns (table, acc).
+
+  ``touched_blocks > 0`` enables the sparse grid (see
+  :func:`scatter_add_sorted`)."""
   v, d = table.shape
   if block_ids is None:
     block_ids = rows
@@ -281,48 +358,55 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                               updates.astype(table.dtype), chunk)
   starts = _block_starts(block_ids, v, block_rows)
   rows = rows.reshape(-1, chunk)
-  grid = (pl.cdiv(v, block_rows),)
+  nblocks = pl.cdiv(v, block_rows)
 
   lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
 
-  def kernel(starts_ref, lr_ref, rows_hbm, upd_hbm, tbl_ref, acc_ref,
-             tbl_out, acc_out, upd_s, gsum_s, sems):
-    _scatter_kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, tbl_out,
-                    upd_s, gsum_s, sems, block_rows=block_rows,
-                    chunk=chunk, mode='adagrad', eps=eps,
-                    precision=jax.lax.Precision(precision.lower()),
-                    lr_ref=lr_ref, acc_ref=acc_ref, acc_out_ref=acc_out)
+  def call(s0, grid, touched, tbl, acc_in):
+    def kernel(starts_ref, lr_ref, rows_hbm, upd_hbm, tbl_ref, acc_ref,
+               tbl_out, acc_out, upd_s, gsum_s, sems):
+      _scatter_kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, tbl_out,
+                      upd_s, gsum_s, sems, block_rows=block_rows,
+                      chunk=chunk, mode='adagrad', eps=eps,
+                      precision=jax.lax.Precision(precision.lower()),
+                      lr_ref=lr_ref, acc_ref=acc_ref,
+                      acc_out_ref=acc_out, touched=touched)
 
-  return pl.pallas_call(
-      kernel,
-      grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,  # starts + lr
-          grid=grid,
-          in_specs=[
-              pl.BlockSpec(memory_space=pltpu.VMEM),    # rows (resident)
-              pl.BlockSpec(memory_space=pltpu.ANY),     # updates (HBM)
-              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
-                           memory_space=pltpu.VMEM),
-              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
-                           memory_space=pltpu.VMEM),
-          ],
-          out_specs=(
-              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
-                           memory_space=pltpu.VMEM),
-              pl.BlockSpec((block_rows, d), lambda b, s, l: (b, 0),
-                           memory_space=pltpu.VMEM),
-          ),
-          scratch_shapes=[
-              pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
-              pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
-              pltpu.SemaphoreType.DMA((2,)),
-          ],
-      ),
-      out_shape=(jax.ShapeDtypeStruct((v, d), table.dtype),
-                 jax.ShapeDtypeStruct((v, d), acc.dtype)),
-      input_output_aliases={4: 0, 5: 1},
-      interpret=interpret,
-  )(starts, lr_arr, rows, updates, table, acc)
+    imap = (lambda b, s, l: (s[0, b], 0)) if touched else \
+        (lambda b, s, l: (b, 0))
+    bspec = pl.BlockSpec((block_rows, d), imap, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # starts/meta + lr
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # updates (HBM)
+                bspec, bspec,
+            ],
+            out_specs=(bspec, bspec),
+            scratch_shapes=[
+                pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
+                pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((v, d), table.dtype),
+                   jax.ShapeDtypeStruct((v, d), acc.dtype)),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(s0, lr_arr, rows, updates, tbl, acc_in)
+
+  if not touched_blocks or touched_blocks >= nblocks:
+    return call(starts, nblocks, False, table, acc)
+  meta, overflow = _touched_meta(block_ids, starts, v, block_rows,
+                                 touched_blocks)
+  return jax.lax.cond(
+      overflow,
+      lambda t, a: call(starts, nblocks, False, t, a),
+      lambda t, a: call(meta, touched_blocks, True, t, a),
+      table, acc)
 
 
 __all__ = ['scatter_add_sorted', 'adagrad_update_sorted',
@@ -331,7 +415,8 @@ __all__ = ['scatter_add_sorted', 'adagrad_update_sorted',
 
 @functools.partial(jax.jit, static_argnames=('b1', 'b2', 'eps',
                                              'block_rows', 'chunk',
-                                             'precision', 'interpret'))
+                                             'precision', 'interpret',
+                                             'touched_blocks'))
 def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                        rows: jax.Array, updates: jax.Array,
                        lr, step, b1: float = 0.9, b2: float = 0.999,
@@ -340,7 +425,8 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                        block_rows: int = _BLOCK_ROWS,
                        chunk: int = _CHUNK,
                        precision: str = 'highest',
-                       interpret: bool = False
+                       interpret: bool = False,
+                       touched_blocks: int = 0
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
   """Fused sparse LazyAdam: one table stream updates both moments and
   the table on touched rows only (moments of untouched rows do NOT
@@ -362,7 +448,7 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
   updates = updates.at[:, d].set(1.0)
   starts = _block_starts(block_ids, table.shape[0], block_rows)
   rows = rows.reshape(-1, chunk)
-  grid = (pl.cdiv(table.shape[0], block_rows),)
+  nblocks = pl.cdiv(table.shape[0], block_rows)
   t = jnp.asarray(step, jnp.float32)
   scalars = jnp.stack([
       jnp.asarray(lr, jnp.float32),
@@ -371,39 +457,51 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
       1.0 - jnp.asarray(b1, jnp.float32) ** t,
       1.0 - jnp.asarray(b2, jnp.float32) ** t,
   ])
-
-  def kernel(starts_ref, lr_ref, rows_hbm, upd_hbm, tbl_ref, m_ref,
-             v_ref, tbl_out, m_out, v_out, upd_s, gsum_s, sems):
-    _scatter_kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, tbl_out,
-                    upd_s, gsum_s, sems, block_rows=block_rows,
-                    chunk=chunk, mode='adam', eps=eps,
-                    precision=jax.lax.Precision(precision.lower()),
-                    lr_ref=lr_ref, acc_ref=(m_ref, v_ref),
-                    acc_out_ref=(m_out, v_out))
-
   upd_w = updates.shape[1]
-  blk = lambda b, s, l: (b, 0)
-  bspec = pl.BlockSpec((block_rows, d), blk, memory_space=pltpu.VMEM)
-  return pl.pallas_call(
-      kernel,
-      grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,  # starts + scalars
-          grid=grid,
-          in_specs=[
-              pl.BlockSpec(memory_space=pltpu.VMEM),    # rows (resident)
-              pl.BlockSpec(memory_space=pltpu.ANY),     # updates (HBM)
-              bspec, bspec, bspec,                      # table, m, v
-          ],
-          out_specs=(bspec, bspec, bspec),
-          scratch_shapes=[
-              pltpu.VMEM((chunk, upd_w), table.dtype),
-              pltpu.VMEM((block_rows, upd_w), jnp.float32),
-              pltpu.SemaphoreType.DMA((2,)),
-          ],
-      ),
-      out_shape=(jax.ShapeDtypeStruct(table.shape, table.dtype),
-                 jax.ShapeDtypeStruct(m.shape, m.dtype),
-                 jax.ShapeDtypeStruct(v.shape, v.dtype)),
-      input_output_aliases={4: 0, 5: 1, 6: 2},
-      interpret=interpret,
-  )(starts, scalars, rows, updates, table, m, v)
+
+  def call(s0, grid, touched, tbl, m_in, v_in):
+    def kernel(starts_ref, lr_ref, rows_hbm, upd_hbm, tbl_ref, m_ref,
+               v_ref, tbl_out, m_out, v_out, upd_s, gsum_s, sems):
+      _scatter_kernel(starts_ref, rows_hbm, upd_hbm, tbl_ref, tbl_out,
+                      upd_s, gsum_s, sems, block_rows=block_rows,
+                      chunk=chunk, mode='adam', eps=eps,
+                      precision=jax.lax.Precision(precision.lower()),
+                      lr_ref=lr_ref, acc_ref=(m_ref, v_ref),
+                      acc_out_ref=(m_out, v_out), touched=touched)
+
+    blk = (lambda b, s, l: (s[0, b], 0)) if touched else \
+        (lambda b, s, l: (b, 0))
+    bspec = pl.BlockSpec((block_rows, d), blk, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # starts/meta + scalars
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # updates (HBM)
+                bspec, bspec, bspec,                    # table, m, v
+            ],
+            out_specs=(bspec, bspec, bspec),
+            scratch_shapes=[
+                pltpu.VMEM((chunk, upd_w), table.dtype),
+                pltpu.VMEM((block_rows, upd_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct(table.shape, table.dtype),
+                   jax.ShapeDtypeStruct(m.shape, m.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        interpret=interpret,
+    )(s0, scalars, rows, updates, tbl, m_in, v_in)
+
+  if not touched_blocks or touched_blocks >= nblocks:
+    return call(starts, nblocks, False, table, m, v)
+  meta, overflow = _touched_meta(block_ids, starts, table.shape[0],
+                                 block_rows, touched_blocks)
+  return jax.lax.cond(
+      overflow,
+      lambda t_, m_, v_: call(starts, nblocks, False, t_, m_, v_),
+      lambda t_, m_, v_: call(meta, touched_blocks, True, t_, m_, v_),
+      table, m, v)

@@ -111,3 +111,67 @@ def test_dim_not_multiple_of_128():
   want = np.asarray(table).copy()
   np.add.at(want, ids, g)
   np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+class TestTouchedBlocks:
+  """Sparse-grid mode: only blocks with updates are streamed; more
+  touched blocks than the cap falls back losslessly."""
+
+  def _data(self, v=4096, d=8, br=512, nblk=2, per=40, seed=0):
+    rng = np.random.RandomState(seed)
+    parts = [rng.randint(b * br, (b + 1) * br, per)
+             for b in (0, 3)[:nblk]]
+    rows = np.sort(np.concatenate(parts)).astype(np.int32)
+    upd = rng.randn(len(rows), d).astype(np.float32)
+    table = jnp.asarray(rng.randn(v, d).astype(np.float32))
+    return table, rows, upd
+
+  def test_adagrad_touched_matches_full(self):
+    from hybridbackend_tpu.ops.pallas.scatter import adagrad_update_sorted
+    table, rows, upd = self._data()
+    acc = jnp.full(table.shape, 0.1, jnp.float32)
+    t1, a1 = adagrad_update_sorted(table, acc, jnp.asarray(rows),
+                                   jnp.asarray(upd), lr=0.1,
+                                   block_rows=512, interpret=True)
+    for cap in (4, 2, 1):   # cap 1 < 2 touched -> fallback
+      t2, a2 = adagrad_update_sorted(table, acc, jnp.asarray(rows),
+                                     jnp.asarray(upd), lr=0.1,
+                                     block_rows=512, interpret=True,
+                                     touched_blocks=cap)
+      np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                                 rtol=1e-5)
+      np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                                 rtol=1e-5)
+
+  def test_adam_touched_matches_full(self):
+    from hybridbackend_tpu.ops.pallas.scatter import adam_update_sorted
+    table, rows, upd = self._data()
+    m = jnp.zeros(table.shape, jnp.float32)
+    v = jnp.zeros(table.shape, jnp.float32)
+    outs = []
+    for cap in (0, 4):
+      outs.append(adam_update_sorted(table, m, v, jnp.asarray(rows),
+                                     jnp.asarray(upd), lr=1e-2, step=1,
+                                     block_rows=512, interpret=True,
+                                     touched_blocks=cap))
+    for x, y in zip(outs[0], outs[1]):
+      np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                 rtol=1e-5)
+
+  def test_option_plumbed_through_sparse_apply(self):
+    import hybridbackend_tpu as hb
+    from hybridbackend_tpu.embedding import TableConfig, create_table
+    from hybridbackend_tpu.embedding.sparse_update import (
+        init_adagrad_state, sparse_adagrad_apply)
+    cfg = TableConfig('tb', 4096, 8, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(0))
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(0, 512, 64), jnp.int32)
+    demb = jnp.asarray(rng.randn(64, 8).astype(np.float32))
+    with hb.scope(emb_update_impl='stream'):
+      t1, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
+      with hb.scope(emb_update_touched_blocks=8):
+        t2, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                               rtol=1e-5)
