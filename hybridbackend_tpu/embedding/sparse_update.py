@@ -59,9 +59,10 @@ OPTIONS.register(
     doc='Sparse-grid mode of the stream update kernel: stream ONLY the '
         'touched table blocks (at most this many; more distinct touched '
         'blocks falls back to the full stream via lax.cond — lossless). '
-        '0 = off. Wins when updates << vocab (huge tables, modest '
-        'batches); set to ~1.2x the expected distinct touched blocks, '
-        'e.g. unique_ids_per_step when blocks are sparse.')
+        '0 = auto (on when the update count is below the block count, '
+        'with cap = update count — cannot overflow; measured 4.4x at '
+        '[4.2M, 32] / 2048 updates on v5e); -1 = off; > 0 = explicit '
+        'cap (~1.2x the expected distinct touched blocks).')
 OPTIONS.register(
     'emb_update_exchange', 'alltoall', env='HB_EMB_UPDATE_EXCHANGE',
     doc="Gradient-return exchange for row-sharded tables: 'alltoall' "
@@ -111,6 +112,26 @@ def _warn_nodedup_ignored():
         'accumulation semantics.', OPTIONS['emb_update_impl'])
 
 
+
+
+def _touched_blocks_auto(vocab: int, n_updates: int,
+                         block_rows) -> int:
+  """Resolve the touched-blocks cap: explicit option value, or auto —
+  enabled whenever the update count is below the block count (then a
+  cap of n_updates can never overflow, so the sparse grid is a pure
+  streaming win)."""
+  opt = int(OPTIONS['emb_update_touched_blocks'])
+  if opt > 0:
+    return opt
+  if opt < 0:
+    return 0
+  from hybridbackend_tpu.ops.pallas.scatter import _BLOCK_ROWS
+  br = int(block_rows or _BLOCK_ROWS)
+  nblocks = -(-vocab // br)
+  return n_updates if nblocks > n_updates else 0
+
+
+
 def _stream_adagrad(table, acc, rows, g, lr, eps):
   """Sort + fused Pallas Adagrad (exact row-total semantics). ``lr``
   may be a traced scalar (e.g. a schedule value)."""
@@ -122,8 +143,10 @@ def _stream_adagrad(table, acc, rows, g, lr, eps):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
-  if OPTIONS['emb_update_touched_blocks']:
-    kwargs['touched_blocks'] = int(OPTIONS['emb_update_touched_blocks'])
+  tb = _touched_blocks_auto(table.shape[0], rows.shape[0],
+                            kwargs.get('block_rows'))
+  if tb:
+    kwargs['touched_blocks'] = tb
   return adagrad_update_sorted(table, acc, rows[order], g[order],
                                lr=lr, eps=float(eps),
                                interpret=interpret, **kwargs)
@@ -493,8 +516,10 @@ def _stream_sgd(table, rows, g, lr):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
-  if OPTIONS['emb_update_touched_blocks']:
-    kwargs['touched_blocks'] = int(OPTIONS['emb_update_touched_blocks'])
+  tb = _touched_blocks_auto(table.shape[0], rows.shape[0],
+                            kwargs.get('block_rows'))
+  if tb:
+    kwargs['touched_blocks'] = tb
   return scatter_add_sorted(table, rows[order], (-lr) * g[order],
                             interpret=interpret, **kwargs)
 
@@ -569,8 +594,10 @@ def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
-  if OPTIONS['emb_update_touched_blocks']:
-    kwargs['touched_blocks'] = int(OPTIONS['emb_update_touched_blocks'])
+  tb = _touched_blocks_auto(table.shape[0], rows.shape[0],
+                            kwargs.get('block_rows'))
+  if tb:
+    kwargs['touched_blocks'] = tb
   return adam_update_sorted(table, m, v, rows[order], g[order],
                             lr=lr, step=step, b1=float(b1), b2=float(b2),
                             eps=float(eps), interpret=interpret, **kwargs)

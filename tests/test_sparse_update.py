@@ -665,3 +665,43 @@ def test_matmul_precision_option():
       t_lo, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
   np.testing.assert_allclose(np.asarray(t_lo), np.asarray(t_hi),
                              rtol=2e-2, atol=2e-3)
+
+
+def test_touched_blocks_auto_rule():
+  """Auto mode turns the sparse grid on exactly when updates < blocks
+  (cap = update count, overflow impossible) and never for dense-update
+  regimes like the flagship shapes."""
+  import hybridbackend_tpu as hb
+  from hybridbackend_tpu.embedding.sparse_update import (
+      _touched_blocks_auto)
+  # 4096 blocks of 1024 rows, 64 updates -> on with cap 64
+  assert _touched_blocks_auto(1 << 22, 64, None) == 64
+  # flagship-ish: 977 blocks, 133k updates -> off
+  assert _touched_blocks_auto(1_000_000, 133_000, None) == 0
+  with hb.scope(emb_update_touched_blocks=-1):
+    assert _touched_blocks_auto(1 << 22, 64, None) == 0
+  with hb.scope(emb_update_touched_blocks=7):
+    assert _touched_blocks_auto(1_000_000, 133_000, None) == 7
+
+
+def test_touched_blocks_auto_end_to_end():
+  """A big-vocab small-batch sparse update goes through the auto
+  sparse grid and matches the numpy reference."""
+  import hybridbackend_tpu as hb
+  cfg = TableConfig('tbig', 1 << 16, DIM, sharded=False)
+  table = create_table(cfg, jax.random.PRNGKey(0))
+  state = init_adagrad_state(table, 0.1)
+  rng = np.random.RandomState(2)
+  ids = rng.randint(0, 1 << 16, 24)
+  demb = rng.randn(24, DIM).astype(np.float32)
+  with hb.scope(emb_update_impl='stream'):
+    got_t, got_s = sparse_adagrad_apply(
+        table, state, jnp.asarray(ids, jnp.int32), jnp.asarray(demb),
+        cfg, 0.1)
+  want_t, want_a = reference_adagrad(
+      np.asarray(table), np.full((1 << 16, DIM), 0.1, np.float32),
+      ids, demb, 0.1)
+  np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=1e-4,
+                             atol=1e-6)
+  np.testing.assert_allclose(np.asarray(got_s.acc[0]), want_a,
+                             rtol=1e-4, atol=1e-6)
