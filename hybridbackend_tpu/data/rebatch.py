@@ -16,7 +16,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from hybridbackend_tpu.data.dataframe import (
-    Batch, concat_columns, num_rows, slice_rows, take_rows)
+    Batch, Value, concat_columns, num_rows, slice_rows, take_rows)
 
 
 class RebatchBuffer:
@@ -31,6 +31,11 @@ class RebatchBuffer:
     self._rows = 0
     self._shuffle = shuffle
     self._rng = np.random.RandomState(seed)
+    # Dense shuffle fast path: an in-place row reservoir — each take
+    # samples n rows and backfills the holes from the tail, O(batch)
+    # row copies per take instead of rebuilding the whole window.
+    self._res: Optional[dict] = None
+    self._res_n = 0
 
   @property
   def rows(self) -> int:
@@ -46,8 +51,39 @@ class RebatchBuffer:
         raise ValueError(f'Ragged batch: column sizes differ ({c} vs {n})')
     if not n:
       return
-    self._chunks.append(batch)
     self._rows += n
+    if self._shuffle:
+      all_dense = all(not isinstance(v, Value) for v in batch.values())
+      if all_dense and not self._chunks:
+        self._put_reservoir(batch, n)
+        return
+      if self._res is not None:
+        # A ragged batch arrived: demote the reservoir to a chunk and
+        # continue on the (row-exact, O(window)) rebuild path.
+        self._chunks.append({k: a[:self._res_n]
+                             for k, a in self._res.items()})
+        self._res = None
+        self._res_n = 0
+    self._chunks.append(batch)
+
+  def _put_reservoir(self, batch: Batch, n: int) -> None:
+    if self._res is None:
+      self._res = {}
+      cap = max(4 * n, 1024)
+      for k, v in batch.items():
+        a = np.asarray(v)
+        self._res[k] = np.empty((cap,) + a.shape[1:], a.dtype)
+      self._res_n = 0
+    first = next(iter(self._res.values()))
+    if self._res_n + n > first.shape[0]:
+      cap = max(2 * first.shape[0], self._res_n + n)
+      for k, a in self._res.items():
+        grown = np.empty((cap,) + a.shape[1:], a.dtype)
+        grown[:self._res_n] = a[:self._res_n]
+        self._res[k] = grown
+    for k, v in batch.items():
+      self._res[k][self._res_n:self._res_n + n] = np.asarray(v)
+    self._res_n += n
 
   def take(self, n: int) -> Batch:
     """Remove and return exactly ``n`` rows (caller checks ``rows``).
@@ -60,6 +96,8 @@ class RebatchBuffer:
     if n > self._rows:
       raise ValueError(f'take({n}) > buffered rows {self._rows}')
     if self._shuffle:
+      if self._res is not None and not self._chunks:
+        return self._take_from_reservoir(n)
       return self._take_sampled(n)
     taken: List[Batch] = []
     got = 0
@@ -84,7 +122,30 @@ class RebatchBuffer:
       out = {k: concat_columns([t[k] for t in taken]) for k in keys}
     return out
 
+  def _take_from_reservoir(self, n: int) -> Batch:
+    """Uniform sample of ``n`` rows from the whole window; the holes
+    are backfilled with (unselected) tail rows — O(n) row copies."""
+    r = self._res_n
+    sel = self._rng.permutation(r)[:n]
+    out = {k: a[sel] for k, a in self._res.items()}
+    sel_mask = np.zeros(r, np.bool_)
+    sel_mask[sel] = True
+    tail = np.arange(r - n, r)
+    tail_keep = tail[~sel_mask[tail]]
+    holes = sel[sel < r - n]
+    for a in self._res.values():
+      a[holes] = a[tail_keep]
+    self._res_n -= n
+    self._rows -= n
+    return out
+
   def _take_sampled(self, n: int) -> Batch:
+    if self._res is not None:
+      # Mixed dense/ragged stream: fold the reservoir into the chunks.
+      self._chunks.insert(0, {k: a[:self._res_n]
+                              for k, a in self._res.items()})
+      self._res = None
+      self._res_n = 0
     if len(self._chunks) > 1:
       keys = self._chunks[0].keys()
       self._chunks = [{k: concat_columns([c[k] for c in self._chunks])

@@ -71,29 +71,57 @@ class IdMapper:
     return self._map_ids_numpy(ids, train)
 
   def _map_ids_numpy(self, ids: np.ndarray, train: bool) -> np.ndarray:
-    """Fallback: one pass over the UNIQUE ids (dict cost ∝ uniques, not
-    occurrences), vectorized scatter back to all positions."""
-    flat = ids.reshape(-1)
+    """Fallback with NATIVE-IDENTICAL semantics: rows are assigned in
+    first-touch occurrence order (not sorted-id order) and, with
+    ``min_count``, only the admitting occurrence and later ones in the
+    batch receive the row — so runs are reproducible whether or not the
+    native lib is present. Dict cost ∝ unique ids, not occurrences."""
+    shape = np.asarray(ids).shape
+    flat = np.asarray(ids).reshape(-1)
+    n = flat.size
     uniq, inverse = np.unique(flat, return_inverse=True)
-    urows = np.empty(uniq.shape, np.int64)
-    for j, raw in enumerate(uniq.tolist()):
-      row = self._map.get(raw, -1)
-      if row < 0 and train:
-        if self.min_count > 1:
-          # Every occurrence in this batch counts toward admission.
-          self._counts[raw] += int(np.count_nonzero(inverse == j))
-          if self._counts[raw] < self.min_count:
-            urows[j] = -1
-            continue
-          del self._counts[raw]
-        if self._next >= self.capacity:
-          urows[j] = -1  # table full: cold (static-capacity tradeoff)
+    counts = np.bincount(inverse, minlength=len(uniq))
+    order = np.argsort(inverse, kind='stable')
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    known = np.asarray([self._map.get(int(u), -1) for u in uniq],
+                       np.int64)
+    out = known[inverse]
+    if not train:
+      return out.reshape(shape)
+    # Candidate admissions, ordered by their admitting position in the
+    # batch (= native per-occurrence processing order).
+    events = []
+    for j in np.nonzero(known < 0)[0]:
+      u = int(uniq[j])
+      occ = int(counts[j])
+      if self.min_count > 1:
+        prior = self._counts[u]
+        need = self.min_count - prior
+        if occ < need:
+          self._counts[u] += occ
           continue
-        row = self._next
-        self._next += 1
-        self._map[raw] = row
-      urows[j] = row
-    return urows[inverse].reshape(ids.shape)
+        adm_rank = need - 1
+      else:
+        adm_rank = 0
+      events.append((int(order[starts[j] + adm_rank]), j, adm_rank))
+    for _, j, adm_rank in sorted(events):
+      u = int(uniq[j])
+      if self._next >= self.capacity:
+        # Full: stays cold; pending count parks just below the
+        # threshold so the next sighting retries admission (native
+        # behavior).
+        if self.min_count > 1:
+          self._counts[u] = self.min_count - 1
+        continue
+      row = self._next
+      self._next += 1
+      self._map[u] = row
+      if self.min_count > 1:
+        self._counts.pop(u, None)
+      grp = order[starts[j]:starts[j] + counts[j]]
+      out[grp[adm_rank:]] = row   # admitting occurrence onward
+      out[grp[:adm_rank]] = -1    # earlier occurrences stay cold
+    return out.reshape(shape)
 
   def state_dict(self) -> Dict[str, np.ndarray]:
     """Serializable mapping state (checkpoint alongside the table)."""

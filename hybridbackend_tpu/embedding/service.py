@@ -143,6 +143,13 @@ class EmbeddingCache:
         z = jax.device_put(z, self._ctx.sharding(
             self._ctx.data_axes, *([None] * len(shape))))
       self.device[name] = z
+    import threading
+    # Guards all slot metadata (native hash, _slot_to_id, _last_used,
+    # free list): prepare_plan runs in the prefetch producer thread
+    # while lookup_slots (eval) and flush (checkpoints) read from other
+    # threads — an unlocked native-hash grow during a concurrent probe
+    # would be a use-after-free.
+    self._meta_lock = threading.Lock()
     self._slots = native.native_idmap(min(self.capacity, 1 << 20))
     self._fallback: Dict[int, int] = {} if self._slots is None else None
     self._slot_to_id = np.full(self.capacity, -1, np.int64)
@@ -193,6 +200,10 @@ class EmbeddingCache:
     Safe to call from a prefetch producer thread; the returned plans
     must be APPLIED in creation order (see module docstring).
     """
+    with self._meta_lock:
+      return self._prepare_plan_locked(ids)
+
+  def _prepare_plan_locked(self, ids: np.ndarray) -> CachePlan:
     shape = np.asarray(ids).shape
     flat = np.asarray(ids).reshape(-1)
     uniq, inverse = np.unique(flat, return_inverse=True)
@@ -276,10 +287,11 @@ class EmbeddingCache:
     """Write every resident row back to storage (reference
     ``before_save_checkpoints``, ``service.py:306-324``)."""
     arrays = self.device if arrays is None else arrays
-    resident = np.nonzero(self._slot_to_id >= 0)[0]
-    if not resident.size:
-      return
-    owners = self._slot_to_id[resident]
+    with self._meta_lock:
+      resident = np.nonzero(self._slot_to_id >= 0)[0]
+      if not resident.size:
+        return
+      owners = self._slot_to_id[resident].copy()
     idx = jnp.asarray(resident + row_offset)
     for name, arr in arrays.items():
       rows = np.asarray(jnp.take(arr, idx, axis=0))
@@ -290,8 +302,9 @@ class EmbeddingCache:
     shape = np.asarray(ids).shape
     flat = np.asarray(ids).reshape(-1)
     uniq, inverse = np.unique(flat, return_inverse=True)
-    return self._lookup_slots(uniq)[inverse].astype(
-        np.int32).reshape(shape)
+    with self._meta_lock:
+      slots = self._lookup_slots(uniq)
+    return slots[inverse].astype(np.int32).reshape(shape)
 
   def lookup_embeddings(self, slots: np.ndarray) -> jax.Array:
     """Convenience: gather cached value rows for prepared slots."""
@@ -359,8 +372,8 @@ class CacheRunner:
       sname, off = self._loc[col]
       nslots = len(topt[sname].acc)
       arrays = {'value': tables[sname]}
-      for i, a in enumerate(topt[sname].acc):
-        arrays[f'slot{i}'] = a
+      arrays.update({f'slot{i}': a
+                     for i, a in enumerate(topt[sname].acc)})
       arrays = cache.apply_plan(arrays, plan, row_offset=off)
       tables[sname] = arrays['value']
       topt[sname] = SparseOptState(

@@ -62,10 +62,13 @@ def build_stacks(configs: Sequence[TableConfig],
     else:
       # Per-table scoped lookup strategies (DictOption '*' wildcard)
       # partition the stacks: members of one stack share one exchange,
-      # so they must share a strategy.
-      strat = OPTIONS.get_for('emb_lookup_strategy', cfg.name)
-      key = (cfg.dim, str(cfg.dtype), cfg.should_shard(ctx),
-             cfg.partition, strat)
+      # so they must share a strategy — but only SHARDED tables
+      # exchange at all; unsharded groups must not fragment over a
+      # strategy that is a no-op for them.
+      sharded = cfg.should_shard(ctx)
+      strat = (OPTIONS.get_for('emb_lookup_strategy', cfg.name)
+               if sharded else None)
+      key = (cfg.dim, str(cfg.dtype), sharded, cfg.partition, strat)
     groups.setdefault(key, []).append(cfg)
   stacks = []
   for key, members in groups.items():

@@ -168,6 +168,10 @@ class Trainer:
         if (self._ckpt and save_checkpoint_steps
             and step_no % save_checkpoint_steps == 0):
           if self._cache_runner is not None:
+            # Plans for prefetched batches may have advanced the slot
+            # metadata past the arrays — apply them before flushing so
+            # rows are written back under the right ids.
+            self.state = self._cache_runner.drain(self.state)
             self._cache_runner.flush(self.state)
           self._ckpt.save(step_no, self.state)
         if (eval_every_n_steps and eval_batches_fn

@@ -112,16 +112,21 @@ class WrappedFlaxModel:
     preds = self.apply(params, batch)
     labels = batch[self.label_key]
     aux = {'preds': preds}
+    if self.loss is not binary_cross_entropy:
+      # Custom losses are ALWAYS honored; exact eval under uneven
+      # tails then relies on the evaluate() valid-count weighting (or
+      # the loss itself consuming batch['_sync_valid']).
+      return self.loss(preds, labels), aux
+    pc = jnp.clip(preds, 1e-6, 1 - 1e-6)
+    pel = -(labels * jnp.log(pc) + (1 - labels) * jnp.log(1 - pc))
+    aux['per_example_loss'] = pel
     valid = batch.get('_sync_valid')
     if valid is None:
-      loss = self.loss(preds, labels)
+      loss = jnp.mean(pel)
     else:
       # Per-example weighting for exact eval under uneven tails.
-      pc = jnp.clip(preds, 1e-6, 1 - 1e-6)
-      pel = -(labels * jnp.log(pc) + (1 - labels) * jnp.log(1 - pc))
       w = valid.astype(pel.dtype)
       loss = jnp.sum(pel * w) / jnp.maximum(jnp.sum(w), 1e-6)
-      aux['per_example_loss'] = pel
     return loss, aux
 
   # -- keras-like lifecycle ------------------------------------------------

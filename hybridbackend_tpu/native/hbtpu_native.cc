@@ -34,6 +34,16 @@ struct IdMap {
   uint64_t mask = 0;
   int64_t live = 0;    // live entries
   int64_t filled = 0;  // live + tombstones
+  // Raw ids equal to the slot sentinels live in a 2-entry side table
+  // (unbounded int64 id spaces may legitimately contain them).
+  int32_t special_vals[2] = {0, 0};
+  bool special_live[2] = {false, false};
+
+  static inline int special_index(int64_t id) {
+    if (id == kEmpty) return 0;
+    if (id == kTomb) return 1;
+    return -1;
+  }
 
   explicit IdMap(int64_t hint) {
     uint64_t cap = 64;
@@ -115,6 +125,12 @@ void hb_idmap_lookup(void* h, const int64_t* ids, int64_t n, int32_t* out,
   const IdMap* m = static_cast<IdMap*>(h);
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
+      int si = IdMap::special_index(ids[i]);
+      if (si >= 0) {
+        out[i] = (m->special_live[si] && m->special_vals[si] >= 0)
+                     ? m->special_vals[si] : missing;
+        continue;
+      }
       int64_t s = m->find(ids[i]);
       if (s >= 0 && m->vals[s] >= 0) out[i] = m->vals[s];
       else out[i] = missing;
@@ -147,6 +163,49 @@ int64_t hb_idmap_train_lookup(void* h, const int64_t* ids, int64_t n,
   IdMap* m = static_cast<IdMap*>(h);
   for (int64_t i = 0; i < n; ++i) {
     int64_t id = ids[i];
+    int si = IdMap::special_index(id);
+    if (si >= 0) {
+      // Sentinel-valued ids: same admission state machine over the
+      // side table.
+      if (!m->special_live[si]) {
+        if (min_count <= 1) {
+          if (next_row < max_rows) {
+            m->special_vals[si] = static_cast<int32_t>(next_row);
+            m->special_live[si] = true;
+            ++m->live;
+            out[i] = static_cast<int32_t>(next_row);
+            ++next_row;
+          } else {
+            out[i] = -1;
+          }
+        } else {
+          m->special_vals[si] = -2;
+          m->special_live[si] = true;
+          ++m->live;
+          out[i] = -1;
+        }
+        continue;
+      }
+      int32_t v = m->special_vals[si];
+      if (v >= 0) {
+        out[i] = v;
+        continue;
+      }
+      int32_t count = -1 - v;
+      if (count + 1 >= min_count) {
+        if (next_row < max_rows) {
+          m->special_vals[si] = static_cast<int32_t>(next_row);
+          out[i] = static_cast<int32_t>(next_row);
+          ++next_row;
+        } else {
+          out[i] = -1;
+        }
+      } else {
+        m->special_vals[si] = -1 - (count + 1);
+        out[i] = -1;
+      }
+      continue;
+    }
     int64_t s = m->find(id);
     if (s >= 0) {
       int32_t v = m->vals[s];
@@ -190,6 +249,15 @@ void hb_idmap_set(void* h, const int64_t* ids, const int32_t* rows,
                   int64_t n) {
   IdMap* m = static_cast<IdMap*>(h);
   for (int64_t i = 0; i < n; ++i) {
+    int si = IdMap::special_index(ids[i]);
+    if (si >= 0) {
+      if (!m->special_live[si]) {
+        m->special_live[si] = true;
+        ++m->live;
+      }
+      m->special_vals[si] = rows[i];
+      continue;
+    }
     int64_t s = m->find(ids[i]);
     if (s >= 0) m->vals[s] = rows[i];
     else m->put_at(~s, ids[i], rows[i]);
@@ -200,6 +268,14 @@ void hb_idmap_set(void* h, const int64_t* ids, const int32_t* rows,
 void hb_idmap_erase(void* h, const int64_t* ids, int64_t n) {
   IdMap* m = static_cast<IdMap*>(h);
   for (int64_t i = 0; i < n; ++i) {
+    int si = IdMap::special_index(ids[i]);
+    if (si >= 0) {
+      if (m->special_live[si]) {
+        m->special_live[si] = false;
+        --m->live;
+      }
+      continue;
+    }
     int64_t s = m->find(ids[i]);
     if (s >= 0) {
       m->keys[s] = IdMap::kTomb;
@@ -213,6 +289,14 @@ void hb_idmap_erase(void* h, const int64_t* ids, int64_t n) {
 int64_t hb_idmap_items(void* h, int64_t* ids_out, int32_t* rows_out) {
   const IdMap* m = static_cast<IdMap*>(h);
   int64_t j = 0;
+  const int64_t specials[2] = {IdMap::kEmpty, IdMap::kTomb};
+  for (int si = 0; si < 2; ++si) {
+    if (m->special_live[si] && m->special_vals[si] >= 0) {
+      ids_out[j] = specials[si];
+      rows_out[j] = m->special_vals[si];
+      ++j;
+    }
+  }
   for (size_t i = 0; i < m->keys.size(); ++i) {
     int64_t k = m->keys[i];
     if (k == IdMap::kEmpty || k == IdMap::kTomb) continue;

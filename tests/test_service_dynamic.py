@@ -387,3 +387,27 @@ def test_cache_runner_drain_keeps_metadata_consistent():
     assert slot >= 0
     np.testing.assert_allclose(tbl[off + slot], host_value[i],
                                atol=1e-6)
+
+
+def test_idmapper_fallback_matches_native():
+  """The NumPy fallback must produce byte-identical mappings to the
+  native hash (first-touch row order, per-occurrence min_count
+  admission) so runs are reproducible across environments."""
+  from hybridbackend_tpu.embedding.dynamic import IdMapper
+  rng = np.random.RandomState(0)
+  for min_count in (1, 2, 3):
+    m_native = IdMapper(capacity=50, min_count=min_count)
+    if m_native._native is None:
+      pytest.skip('native lib unavailable')
+    m_fallback = IdMapper(capacity=50, min_count=min_count)
+    m_fallback._native = None
+    for _ in range(6):
+      batch = rng.randint(0, 40, 32).astype(np.int64)
+      a = m_native.map_ids(batch)
+      b = m_fallback.map_ids(batch)
+      np.testing.assert_array_equal(a, b)
+    # unsorted first-touch order check
+    probe = m_native.map_ids(np.asarray([39, 1]), train=False)
+    probe2 = m_fallback.map_ids(np.asarray([39, 1]), train=False)
+    np.testing.assert_array_equal(probe, probe2)
+    assert m_native.size == m_fallback.size
