@@ -74,6 +74,18 @@ class RebatchBuffer:
         a = np.asarray(v)
         self._res[k] = np.empty((cap,) + a.shape[1:], a.dtype)
       self._res_n = 0
+    for k, v in batch.items():
+      a = np.asarray(v)
+      r = self._res[k]
+      if a.dtype != r.dtype or a.shape[1:] != r.shape[1:]:
+        # Schema drift across micro-batches: demote to the chunk path,
+        # whose concat promotes dtypes instead of silently casting.
+        self._chunks.append({c: arr[:self._res_n]
+                             for c, arr in self._res.items()})
+        self._res = None
+        self._res_n = 0
+        self._chunks.append(batch)
+        return
     first = next(iter(self._res.values()))
     if self._res_n + n > first.shape[0]:
       cap = max(2 * first.shape[0], self._res_n + n)

@@ -324,8 +324,13 @@ class CacheRunner:
 
   def __init__(self, caches: Dict[str, 'EmbeddingCache'], fx):
     import collections
+    import threading
     self._caches = dict(caches)
     self._plans = collections.deque()
+    # Spans plan CREATION + queue append so checkpoint_flush can take an
+    # atomic (pending plans, slot metadata) snapshot while the producer
+    # thread keeps planning.
+    self._runner_lock = threading.Lock()
     self._loc: Dict[str, Tuple[str, int]] = {}
     for col, cache in self._caches.items():
       name = cache.config.name
@@ -336,12 +341,13 @@ class CacheRunner:
   def transform(self, batch):
     """Producer-side: map id columns to cache slots, queue the plan."""
     batch = dict(batch)
-    plans = {}
-    for col, cache in self._caches.items():
-      plan = cache.prepare_plan(np.asarray(batch[col]))
-      batch[col] = plan.slots
-      plans[col] = plan
-    self._plans.append(plans)
+    with self._runner_lock:
+      plans = {}
+      for col, cache in self._caches.items():
+        plan = cache.prepare_plan(np.asarray(batch[col]))
+        batch[col] = plan.slots
+        plans[col] = plan
+      self._plans.append(plans)
     return batch
 
   def eval_transform(self, batch):
@@ -352,11 +358,15 @@ class CacheRunner:
       batch[col] = cache.lookup_slots(np.asarray(batch[col]))
     return batch
 
-  def _arrays_of(self, state, sname: str) -> Dict[str, jax.Array]:
-    arrays = {'value': state.tables[sname]}
-    for i, a in enumerate(state.table_opt[sname].acc):
-      arrays[f'slot{i}'] = a
+  @staticmethod
+  def _build_arrays(table, accs) -> Dict[str, jax.Array]:
+    arrays = {'value': table}
+    arrays.update({f'slot{i}': a for i, a in enumerate(accs)})
     return arrays
+
+  def _arrays_of(self, state, sname: str) -> Dict[str, jax.Array]:
+    return self._build_arrays(state.tables[sname],
+                              state.table_opt[sname].acc)
 
   def apply_next(self, state):
     """Execute the oldest pending plan against the train state."""
@@ -371,29 +381,62 @@ class CacheRunner:
       cache = self._caches[col]
       sname, off = self._loc[col]
       nslots = len(topt[sname].acc)
-      arrays = {'value': tables[sname]}
-      arrays.update({f'slot{i}': a
-                     for i, a in enumerate(topt[sname].acc)})
-      arrays = cache.apply_plan(arrays, plan, row_offset=off)
+      arrays = cache.apply_plan(
+          self._build_arrays(tables[sname], topt[sname].acc), plan,
+          row_offset=off)
       tables[sname] = arrays['value']
       topt[sname] = SparseOptState(
           acc=tuple(arrays[f'slot{i}'] for i in range(nslots)))
     return dataclasses.replace(state, tables=tables, table_opt=topt)
 
   def drain(self, state):
-    """Apply every pending plan (planned-but-unstepped prefetched
-    batches at loop exit): keeps the slot metadata and the arrays
-    consistent — a plan's uploads/write-backs are valid regardless of
-    whether its batch ever trained."""
+    """Apply every pending plan. ONLY for loop exit (the producer has
+    stopped and the drained batches will never train); mid-train use
+    :meth:`checkpoint_flush` instead — draining a plan whose batch
+    still trains would evict rows before their updates land."""
     while self._plans:
       state = self.apply_next(state)
     return state
 
   def flush(self, state) -> None:
-    """Write all resident rows back (call before checkpoint saves)."""
+    """Write all resident rows back. Requires a quiesced producer (loop
+    exit, after :meth:`drain`); mid-train use :meth:`checkpoint_flush`."""
     for col, cache in self._caches.items():
       sname, off = self._loc[col]
       cache.flush(self._arrays_of(state, sname), row_offset=off)
+
+  def checkpoint_flush(self, state) -> None:
+    """Array-consistent flush while the prefetch producer keeps
+    planning: atomically snapshot (pending plans, slot maps), UNDO the
+    pending plans on the snapshot (they have advanced the metadata past
+    the arrays), and write back rows under their true current owners.
+    No plan is consumed — training continues exactly as before."""
+    with self._runner_lock:
+      pending = list(self._plans)
+      snaps = {}
+      for col, cache in self._caches.items():
+        with cache._meta_lock:
+          snaps[col] = cache._slot_to_id.copy()
+    for col, cache in self._caches.items():
+      s2id = snaps[col]
+      for plans in reversed(pending):
+        plan = plans.get(col)
+        if plan is None:
+          continue
+        if plan.miss_slots.size:
+          s2id[plan.miss_slots] = -1
+        if plan.evict_slots.size:
+          s2id[plan.evict_slots] = plan.evict_ids
+      resident = np.nonzero(s2id >= 0)[0]
+      if not resident.size:
+        continue
+      owners = s2id[resident]
+      sname, off = self._loc[col]
+      arrays = self._arrays_of(state, sname)
+      idx = jnp.asarray(resident + off)
+      for name, arr in arrays.items():
+        rows = np.asarray(jnp.take(arr, idx, axis=0))
+        cache.storage.push(name, owners, rows)
 
 
 __all__ = ['EmbeddingCache', 'CachePlan', 'CacheRunner', 'Storage',

@@ -132,12 +132,9 @@ def _touched_blocks_auto(vocab: int, n_updates: int,
 
 
 
-def _stream_adagrad(table, acc, rows, g, lr, eps):
-  """Sort + fused Pallas Adagrad (exact row-total semantics). ``lr``
-  may be a traced scalar (e.g. a schedule value)."""
-  from hybridbackend_tpu.ops.pallas.scatter import adagrad_update_sorted
-  order = jnp.argsort(rows)
-  interpret = jax.default_backend() != 'tpu'
+def _stream_kwargs(table, rows):
+  """Shared option plumbing for the three stream kernels (block size,
+  matmul precision, touched-blocks sparse grid)."""
   kwargs = {}
   if OPTIONS['emb_update_block_rows']:
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
@@ -147,6 +144,16 @@ def _stream_adagrad(table, acc, rows, g, lr, eps):
                             kwargs.get('block_rows'))
   if tb:
     kwargs['touched_blocks'] = tb
+  return kwargs
+
+
+def _stream_adagrad(table, acc, rows, g, lr, eps):
+  """Sort + fused Pallas Adagrad (exact row-total semantics). ``lr``
+  may be a traced scalar (e.g. a schedule value)."""
+  from hybridbackend_tpu.ops.pallas.scatter import adagrad_update_sorted
+  order = jnp.argsort(rows)
+  interpret = jax.default_backend() != 'tpu'
+  kwargs = _stream_kwargs(table, rows)
   return adagrad_update_sorted(table, acc, rows[order], g[order],
                                lr=lr, eps=float(eps),
                                interpret=interpret, **kwargs)
@@ -511,15 +518,7 @@ def _stream_sgd(table, rows, g, lr):
   from hybridbackend_tpu.ops.pallas.scatter import scatter_add_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
-  kwargs = {}
-  if OPTIONS['emb_update_block_rows']:
-    kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
-  if OPTIONS['emb_update_matmul_precision'] != 'highest':
-    kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
-  tb = _touched_blocks_auto(table.shape[0], rows.shape[0],
-                            kwargs.get('block_rows'))
-  if tb:
-    kwargs['touched_blocks'] = tb
+  kwargs = _stream_kwargs(table, rows)
   return scatter_add_sorted(table, rows[order], (-lr) * g[order],
                             interpret=interpret, **kwargs)
 
@@ -589,15 +588,7 @@ def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
   from hybridbackend_tpu.ops.pallas.scatter import adam_update_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
-  kwargs = {}
-  if OPTIONS['emb_update_block_rows']:
-    kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
-  if OPTIONS['emb_update_matmul_precision'] != 'highest':
-    kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
-  tb = _touched_blocks_auto(table.shape[0], rows.shape[0],
-                            kwargs.get('block_rows'))
-  if tb:
-    kwargs['touched_blocks'] = tb
+  kwargs = _stream_kwargs(table, rows)
   return adam_update_sorted(table, m, v, rows[order], g[order],
                             lr=lr, step=step, b1=float(b1), b2=float(b2),
                             eps=float(eps), interpret=interpret, **kwargs)

@@ -48,10 +48,19 @@ class TableStack:
 
 def build_stacks(configs: Sequence[TableConfig],
                  ctx: Optional[Context] = None) -> List[TableStack]:
-  """Group configs by (dim, dtype, shardability) into stacks.
+  """Group configs by (dim, dtype, shardability[, strategy]) into stacks.
 
   Tables that would be replicated (small) are stacked separately from
-  sharded ones so the shard policy stays per-group.
+  sharded ones so the shard policy stays per-group; sharded groups also
+  split by their resolved per-table lookup strategy (members share one
+  exchange).
+
+  CHECKPOINT CAVEAT: the grouping determines the physical table names
+  and member row offsets, so stacks must be built under the SAME option
+  scopes (emb_sharded / emb_lookup_strategy / world size policy) when
+  saving and when restoring — a different grouping renames the
+  checkpoint's table keys. (Restores across different world SIZES are
+  fine: arrays are global-shape.)
   """
   ctx = ctx or Context.get()
   from hybridbackend_tpu.framework.options import OPTIONS

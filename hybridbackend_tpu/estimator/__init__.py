@@ -168,11 +168,11 @@ class Trainer:
         if (self._ckpt and save_checkpoint_steps
             and step_no % save_checkpoint_steps == 0):
           if self._cache_runner is not None:
-            # Plans for prefetched batches may have advanced the slot
-            # metadata past the arrays — apply them before flushing so
-            # rows are written back under the right ids.
-            self.state = self._cache_runner.drain(self.state)
-            self._cache_runner.flush(self.state)
+            # Mid-train: the producer thread keeps planning, so take
+            # the runner's atomic snapshot flush (undoes pending plans
+            # on a metadata copy — no plan is consumed, no row is
+            # written under a future owner).
+            self._cache_runner.checkpoint_flush(self.state)
           self._ckpt.save(step_no, self.state)
         if (eval_every_n_steps and eval_batches_fn
             and step_no % eval_every_n_steps == 0):

@@ -119,14 +119,16 @@ class WrappedFlaxModel:
       return self.loss(preds, labels), aux
     pc = jnp.clip(preds, 1e-6, 1 - 1e-6)
     pel = -(labels * jnp.log(pc) + (1 - labels) * jnp.log(1 - pc))
-    aux['per_example_loss'] = pel
     valid = batch.get('_sync_valid')
     if valid is None:
       loss = jnp.mean(pel)
     else:
-      # Per-example weighting for exact eval under uneven tails.
+      # Per-example weighting for exact eval under uneven tails; the
+      # [B] array is only surfaced here (eval) so train metrics stay
+      # scalar.
       w = valid.astype(pel.dtype)
       loss = jnp.sum(pel * w) / jnp.maximum(jnp.sum(w), 1e-6)
+      aux['per_example_loss'] = pel
     return loss, aux
 
   # -- keras-like lifecycle ------------------------------------------------

@@ -411,3 +411,56 @@ def test_idmapper_fallback_matches_native():
     probe2 = m_fallback.map_ids(np.asarray([39, 1]), train=False)
     np.testing.assert_array_equal(probe, probe2)
     assert m_native.size == m_fallback.size
+
+
+def test_checkpoint_flush_undoes_pending_plans():
+  """Mid-train checkpoint flush must write rows under their
+  ARRAY-consistent owners: plans pending in the prefetch queue have
+  already advanced the slot metadata, and naively flushing with it
+  would store one id's rows under another id."""
+  import jax.numpy as jnp
+  import optax
+  from hybridbackend_tpu.embedding import TableConfig
+  from hybridbackend_tpu.embedding.service import EmbeddingCache
+  from hybridbackend_tpu.estimator import SparseTrainer
+  from hybridbackend_tpu.models import EmbeddingSpec, StackedFeatureExtractor
+  VOCAB, CAP, DIM = 64, 8, 8
+  host_value = (np.arange(VOCAB)[:, None]
+                * np.ones((1, DIM))).astype(np.float32)
+  cache = EmbeddingCache(
+      TableConfig('big', VOCAB, DIM), CAP,
+      host_tables={'value': host_value.copy(),
+                   'slot0': np.full((VOCAB, DIM), 0.1, np.float32)})
+  specs = [EmbeddingSpec(cache.slot_config(), column='big')]
+  fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+  dense = {'w': jnp.zeros((DIM + 1, 1), jnp.float32)}
+
+  def ml(dense_p, emb_f, dense_f, b):
+    x = jnp.concatenate(emb_f + dense_f, axis=-1)
+    return jnp.mean(x) * 0.0, {}
+
+  tr = SparseTrainer(fx, ml, dense, dense_optimizer=optax.sgd(0.1),
+                     rng=jax.random.PRNGKey(0), caches={'big': cache})
+  runner = tr._cache_runner
+  ids1 = np.arange(0, 8, dtype=np.int64)       # fills the cache
+  ids2 = np.arange(8, 16, dtype=np.int64)      # evicts all of ids1
+  runner.transform({'big': ids1})
+  runner.transform({'big': ids2})
+  state = runner.apply_next(tr.state)          # only plan 1 applied
+
+  # Simulate training on the applied arrays: bump the cached member.
+  stack = fx._stack_of['big']
+  sname = stack.stacked.name
+  import dataclasses
+  tables = dict(state.tables)
+  tables[sname] = tables[sname] + 1000.0
+  state = dataclasses.replace(state, tables=tables)
+
+  runner.checkpoint_flush(state)
+  stored = cache.storage.tables['value']
+  # ids1 rows flushed under ids1 with the trained (+1000) values.
+  for i in ids1:
+    np.testing.assert_allclose(stored[i], host_value[i] + 1000.0)
+  # ids2 rows untouched in storage (their plan was never applied).
+  for i in ids2:
+    np.testing.assert_allclose(stored[i], host_value[i])
