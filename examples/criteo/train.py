@@ -65,6 +65,11 @@ def main():
   p.add_argument('--lr-dense', type=float, default=1e-3)
   p.add_argument('--sparse', action='store_true',
                  help='row-sparse table updates (no dense [V,D] grads)')
+  p.add_argument('--cached', type=int, default=0, metavar='CAP',
+                 help='EmbeddingService demo (implies --sparse): keep '
+                      'the largest table in host DRAM behind a CAP-row '
+                      'HBM cache (LRU write-back, id->slot native '
+                      'hash)')
   p.add_argument('--lookup', default='allgather',
                  choices=['allgather', 'alltoall', 'gspmd', 'hierarchical'])
   p.add_argument('--cpu', type=int, default=0,
@@ -98,8 +103,31 @@ def main():
     synthesize(args.data, args.rows, vocabs)
 
   hb.OPTIONS['emb_lookup_strategy'] = args.lookup
-  specs = [EmbeddingSpec(TableConfig(f'c{c}', vocabs[c], args.dim))
-           for c in range(NUM_CAT)]
+  caches = None
+  if args.cached:
+    # EmbeddingService parity demo: the LARGEST table lives in host
+    # DRAM behind a fixed-capacity HBM cache; its ids are host-mapped
+    # to cache slots every step (reference service.py:50-324).
+    args.sparse = True
+    import numpy as _np
+    from hybridbackend_tpu.embedding import EmbeddingCache
+    big = int(_np.argmax(vocabs))
+    rngc = _np.random.RandomState(42)
+    cache = EmbeddingCache(
+        TableConfig(f'c{big}', vocabs[big], args.dim), int(args.cached),
+        host_tables={
+            'value': (rngc.randn(vocabs[big], args.dim) * 0.01
+                      ).astype(_np.float32),
+            'slot0': _np.full((vocabs[big], args.dim), 0.1, _np.float32),
+        })
+    caches = {f'c{big}': cache}
+    specs = [EmbeddingSpec(cache.slot_config() if c == big else
+                           TableConfig(f'c{c}', vocabs[c], args.dim),
+                           column=f'c{c}')
+             for c in range(NUM_CAT)]
+  else:
+    specs = [EmbeddingSpec(TableConfig(f'c{c}', vocabs[c], args.dim))
+             for c in range(NUM_CAT)]
   dense_cols = [f'i{d}' for d in range(NUM_DENSE)]
   fx = StackedFeatureExtractor(specs, dense_columns=dense_cols)
 
@@ -141,7 +169,8 @@ def main():
         fx, model_loss, params['net'], tables=params['tables'],
         dense_optimizer=optax.adam(args.lr_dense),
         table_lr=args.lr_tables,
-        model_dir=args.model_dir or None)
+        model_dir=args.model_dir or None,
+        caches=caches)
 
     def sparse_batches(shuffle):
       ds = hb.data.Dataset.from_parquet(
