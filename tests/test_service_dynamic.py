@@ -464,3 +464,77 @@ def test_checkpoint_flush_undoes_pending_plans():
   # ids2 rows untouched in storage (their plan was never applied).
   for i in ids2:
     np.testing.assert_allclose(stored[i], host_value[i])
+
+
+def test_cache_backed_checkpoint_resume(tmp_path):
+  """Full production resume story: flush-at-checkpoint makes storage
+  authoritative, so a fresh cache over the same storage + a restored
+  trainer continues bit-compatibly with an uninterrupted run."""
+  import jax.numpy as jnp
+  import optax
+  from hybridbackend_tpu.embedding import TableConfig
+  from hybridbackend_tpu.embedding.service import EmbeddingCache
+  from hybridbackend_tpu.estimator import SparseTrainer
+  from hybridbackend_tpu.models import EmbeddingSpec, StackedFeatureExtractor
+  VOCAB, CAP, DIM = 2000, 96, 8
+  rng = np.random.RandomState(3)
+  init_value = (rng.randn(VOCAB, DIM) * 0.01).astype(np.float32)
+
+  def data(steps, seed=0):
+    r = np.random.RandomState(seed)
+    out = []
+    for t in range(steps):
+      lo = (t * 53) % (VOCAB - 200)
+      big = r.randint(lo, lo + 150, 32).astype(np.int64)
+      d0 = r.rand(32).astype(np.float32)
+      out.append({'big': big, 'd0': d0,
+                  'label': (big % 3 == 0).astype(np.float32)})
+    return out
+
+  def model_loss(dense, emb_f, dense_f, b):
+    x = jnp.concatenate(emb_f + dense_f, axis=-1)
+    p = jnp.clip(jax.nn.sigmoid((x @ dense['w'])[:, 0]), 1e-6, 1 - 1e-6)
+    y = b['label']
+    return -jnp.mean(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)), {}
+
+  def make(host, model_dir):
+    cache = EmbeddingCache(
+        TableConfig('big', VOCAB, DIM), CAP,
+        host_tables=host)
+    specs = [EmbeddingSpec(cache.slot_config(), column='big')]
+    fx = StackedFeatureExtractor(specs, dense_columns=['d0'])
+    wr = np.random.RandomState(9).randn(DIM + 1, 1).astype(np.float32)
+    tr = SparseTrainer(fx, model_loss, {'w': jnp.asarray(wr)},
+                       dense_optimizer=optax.sgd(0.1), table_lr=0.1,
+                       rng=jax.random.PRNGKey(5), caches={'big': cache},
+                       model_dir=model_dir)
+    return tr, cache
+
+  batches = data(8)
+
+  # Run A: 8 steps uninterrupted.
+  host_a = {'value': init_value.copy(),
+            'slot0': np.full((VOCAB, DIM), 0.1, np.float32)}
+  tr_a, cache_a = make(host_a, None)
+  tr_a.train(iter(batches), sync=False)
+  tr_a._cache_runner.flush(tr_a.state)
+
+  # Run B: 4 steps, checkpoint+flush, then a FRESH trainer + FRESH
+  # cache over the SAME storage arrays resumes for 4 more.
+  host_b = {'value': init_value.copy(),
+            'slot0': np.full((VOCAB, DIM), 0.1, np.float32)}
+  md = str(tmp_path / 'm')
+  tr_b1, _ = make(host_b, md)
+  tr_b1.train(iter(batches[:4]), sync=False)  # final ckpt drains+flushes
+  tr_b2, cache_b2 = make(host_b, md)          # restores step/dense
+  assert tr_b2.global_step == 4
+  tr_b2.train(iter(batches[4:]), sync=False)
+  tr_b2._cache_runner.flush(tr_b2.state)
+
+  touched = np.unique(np.concatenate([b['big'] for b in batches]))
+  np.testing.assert_allclose(host_b['value'][touched],
+                             host_a['value'][touched],
+                             rtol=2e-4, atol=2e-6)
+  np.testing.assert_allclose(host_b['slot0'][touched],
+                             host_a['slot0'][touched],
+                             rtol=2e-4, atol=2e-6)
