@@ -24,6 +24,7 @@ the TPU-native non-drop contract is **pad + per-row validity weights**:
 
 from __future__ import annotations
 
+import itertools
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -40,12 +41,62 @@ OPTIONS.register('data_sync_drop_remainder', True,
 #: Per-row validity column attached to every batch in non-drop mode.
 SYNC_VALID_KEY = '_sync_valid'
 
+# One id per iterator, identical across processes as long as iterators
+# are constructed in the same (SPMD) order — keys below must match.
+_SYNC_IDS = itertools.count()
+
+
+def _coord_client():
+  """The jax.distributed coordination-service KV client (None when the
+  distributed runtime is not initialized)."""
+  try:
+    from jax._src import distributed
+    return distributed.global_state.client
+  except Exception:  # noqa: BLE001 — internal API; fall back gracefully
+    return None
+
+
+def _kv_exchange(client, sid: int, step: int, rank: int, world: int,
+                 has_data: bool, rows: int) -> Tuple[bool, bool, int]:
+  """Exchange (has_data, rows) through the coordination KV store.
+
+  This deliberately AVOIDS device collectives: the exchange runs on the
+  prefetch producer thread while the consumer thread issues the
+  train/eval step's collectives — two threads racing on the collective
+  stream can order their ops differently across processes and deadlock.
+  KV traffic rides the coordination service instead and cannot
+  interleave with XLA collectives.
+  """
+  base = f'hb/sync/{sid}/{step}'
+  client.key_value_set(f'{base}/{rank}', f'{int(has_data)},{int(rows)}')
+  any_d, all_d, mx = False, True, 0
+  for r in range(world):
+    raw = client.blocking_key_value_get(f'{base}/{r}', 600_000)
+    h, n = raw.split(',')
+    h = bool(int(h))
+    any_d |= h
+    all_d &= h
+    mx = max(mx, int(n))
+  if step >= 2:
+    # Bound key growth: everyone has consumed step-2 by now.
+    try:
+      client.key_value_delete(f'hb/sync/{sid}/{step - 2}/{rank}')
+    except Exception:  # noqa: BLE001 — GC is best-effort
+      pass
+  return any_d, all_d, mx
+
 
 def _global_state(local_has_data: bool, local_rows: int,
-                  ctx: Context) -> Tuple[bool, bool, int]:
+                  ctx: Context, sid: int = 0,
+                  step: int = 0) -> Tuple[bool, bool, int]:
   """Returns (any_has_data, all_have_data, global_max_rows)."""
   if ctx.num_processes <= 1:
     return local_has_data, local_has_data, local_rows
+  client = _coord_client()
+  if client is not None:
+    import jax
+    return _kv_exchange(client, sid, step, jax.process_index(),
+                        ctx.num_processes, local_has_data, local_rows)
   from jax.experimental import multihost_utils
   flags = multihost_utils.process_allgather(
       np.asarray([int(local_has_data), int(local_rows)], np.int32))
@@ -92,6 +143,8 @@ class SyncReplicasIterator:
       drop_remainder = bool(OPTIONS['data_sync_drop_remainder'])
     self._drop_remainder = drop_remainder
     self._template: Optional[Batch] = None
+    self._sid = next(_SYNC_IDS)
+    self._step_no = 0
 
   def __iter__(self):
     return self
@@ -135,8 +188,11 @@ class SyncReplicasIterator:
     except StopIteration:
       batch = None
       has_data = False
+    step = self._step_no
+    self._step_no += 1
     if self._drop_remainder:
-      any_data, all_data, _ = _global_state(has_data, 0, self._ctx)
+      any_data, all_data, _ = _global_state(has_data, 0, self._ctx,
+                                            self._sid, step)
       if not all_data:
         raise StopIteration
       return batch  # type: ignore[return-value]
@@ -145,7 +201,8 @@ class SyncReplicasIterator:
       for col in batch.values():
         rows = num_rows(col)
         break
-    any_data, _, target = _global_state(has_data, rows, self._ctx)
+    any_data, _, target = _global_state(has_data, rows, self._ctx,
+                                        self._sid, step)
     if not any_data:
       raise StopIteration
     # The assembled global batch must divide the mesh's data axis:

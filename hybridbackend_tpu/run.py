@@ -29,6 +29,21 @@ import subprocess
 import sys
 
 
+def _die_with_parent():
+  """Linux: deliver SIGKILL to this child when the launcher dies.
+
+  If the launcher itself is killed (e.g. a test-harness timeout
+  SIGKILLs it before its cleanup runs), the simulated workers must not
+  orphan — a hung worker would keep the jax.distributed coordinator
+  port bound and deadlock every subsequent launch on the host."""
+  try:
+    import ctypes
+    libc = ctypes.CDLL('libc.so.6', use_errno=True)
+    libc.prctl(1, signal.SIGKILL)  # PR_SET_PDEATHSIG
+  except Exception:  # noqa: BLE001 — best-effort safety net
+    pass
+
+
 def _pick_port() -> int:
   s = socket.socket()
   s.bind(('127.0.0.1', 0))
@@ -75,7 +90,9 @@ def main():
         flags.append('--no-distributed')
       procs.append(subprocess.Popen(
           [sys.executable, '-m', 'hybridbackend_tpu.run', *flags,
-           opts.script] + opts.args, env=env))
+           opts.script] + opts.args, env=env,
+          preexec_fn=_die_with_parent if sys.platform.startswith('linux')
+          else None))
     import time
     code = 0
     try:
