@@ -61,13 +61,26 @@ class DeviceIterator:
                capacity: Optional[int] = None,
                sharded: bool = True,
                transform: Optional[Callable[[Dict[str, np.ndarray]],
-                                            Dict[str, np.ndarray]]] = None):
+                                            Dict[str, np.ndarray]]] = None,
+               producer_put: Optional[bool] = None):
     self._ctx = ctx or Context.get()
     self._capacity = capacity or int(OPTIONS['data_prefetch_capacity'])
     self._q: _queue.Queue = _queue.Queue(maxsize=self._capacity)
     self._stop = threading.Event()
     self._sharded = sharded
     self._transform = transform
+    self._inner = host_iterator
+    if producer_put is None:
+      # Multi-process: exactly ONE thread per process may touch the
+      # runtime. A producer-thread device_put interleaving with the
+      # consumer thread's collective launches can order runtime work
+      # differently across processes and wedge the job (observed on the
+      # CPU+Gloo backend; on TPU the PJRT client serializes, but the
+      # single-owner rule is the portable contract). device_put dispatch
+      # is asynchronous, so consumer-side placement still overlaps the
+      # actual H2D DMA with the previous step's execution.
+      producer_put = self._ctx.num_processes <= 1
+    self._producer_put = producer_put
     self._thread = threading.Thread(
         target=self._producer, args=(iter(host_iterator),), daemon=True)
     self._thread.start()
@@ -77,10 +90,11 @@ class DeviceIterator:
       for batch in it:
         if self._transform is not None:
           batch = self._transform(batch)
-        dev = _put_batch(batch, self._ctx, self._sharded)
+        if self._producer_put:
+          batch = _put_batch(batch, self._ctx, self._sharded)
         while not self._stop.is_set():
           try:
-            self._q.put(dev, timeout=0.1)
+            self._q.put(batch, timeout=0.1)
             break
           except _queue.Full:
             continue
@@ -102,11 +116,21 @@ class DeviceIterator:
       raise StopIteration
     if isinstance(item, BaseException):
       raise item
+    if not self._producer_put:
+      item = _put_batch(item, self._ctx, self._sharded)
     return item
 
   def close(self) -> None:
     """Cancel the producer (reference: HbCancelPrefetch)."""
     self._stop.set()
+    # Unblock a producer waiting inside the wrapped iterator (e.g. a
+    # SyncReplicas peer wait) so the thread exits promptly.
+    inner_close = getattr(self._inner, 'close', None)
+    if callable(inner_close):
+      try:
+        inner_close()
+      except Exception:  # noqa: BLE001 — teardown is best-effort
+        pass
     try:
       while True:
         self._q.get_nowait()

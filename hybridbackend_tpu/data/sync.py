@@ -37,6 +37,11 @@ OPTIONS.register('data_sync_drop_remainder', True,
                  env='HB_DATA_SYNC_DROP_REMAINDER',
                  doc='Stop all replicas when ANY runs out (True) or only '
                      'when ALL run out (False).')
+OPTIONS.register('data_sync_timeout_ms', 120_000,
+                 env='HB_DATA_SYNC_TIMEOUT_MS',
+                 doc='Max time to wait for a peer replica in the per-step '
+                     'sync exchange before raising an error naming the '
+                     'lagging rank.')
 
 #: Per-row validity column attached to every batch in non-drop mode.
 SYNC_VALID_KEY = '_sync_valid'
@@ -56,8 +61,13 @@ def _coord_client():
     return None
 
 
+class SyncCancelled(Exception):
+  """The iterator was closed while its exchange was in flight."""
+
+
 def _kv_exchange(client, sid: int, step: int, rank: int, world: int,
-                 has_data: bool, rows: int) -> Tuple[bool, bool, int]:
+                 has_data: bool, rows: int,
+                 cancel=None) -> Tuple[bool, bool, int]:
   """Exchange (has_data, rows) through the coordination KV store.
 
   This deliberately AVOIDS device collectives: the exchange runs on the
@@ -66,12 +76,36 @@ def _kv_exchange(client, sid: int, step: int, rank: int, world: int,
   stream can order their ops differently across processes and deadlock.
   KV traffic rides the coordination service instead and cannot
   interleave with XLA collectives.
+
+  The peer wait is sliced into short blocking gets so that (a) a closed
+  iterator cancels promptly instead of stalling its producer thread, and
+  (b) a dead or lagging peer raises a crisp error *naming the rank*
+  rather than hanging for minutes (reference liveness contract:
+  ``sync_replicas_dataset.cc:109-213`` fails fast through session
+  errors).
   """
+  import jax
+
   base = f'hb/sync/{sid}/{step}'
   client.key_value_set(f'{base}/{rank}', f'{int(has_data)},{int(rows)}')
+  total_ms = int(OPTIONS['data_sync_timeout_ms'])
+  slice_ms = min(2_000, total_ms)
   any_d, all_d, mx = False, True, 0
   for r in range(world):
-    raw = client.blocking_key_value_get(f'{base}/{r}', 600_000)
+    waited = 0
+    while True:
+      if cancel is not None and cancel.is_set():
+        raise SyncCancelled()
+      try:
+        raw = client.blocking_key_value_get(f'{base}/{r}', slice_ms)
+        break
+      except jax.errors.JaxRuntimeError:
+        waited += slice_ms
+        if waited >= total_ms:
+          raise RuntimeError(
+              f'SyncReplicasIterator: replica {r} did not reach sync '
+              f'step {step} within {total_ms} ms (this is rank {rank}; '
+              f'key {base}/{r}). The peer is dead or stalled.') from None
     h, n = raw.split(',')
     h = bool(int(h))
     any_d |= h
@@ -88,7 +122,7 @@ def _kv_exchange(client, sid: int, step: int, rank: int, world: int,
 
 def _global_state(local_has_data: bool, local_rows: int,
                   ctx: Context, sid: int = 0,
-                  step: int = 0) -> Tuple[bool, bool, int]:
+                  step: int = 0, cancel=None) -> Tuple[bool, bool, int]:
   """Returns (any_has_data, all_have_data, global_max_rows)."""
   if ctx.num_processes <= 1:
     return local_has_data, local_has_data, local_rows
@@ -96,7 +130,8 @@ def _global_state(local_has_data: bool, local_rows: int,
   if client is not None:
     import jax
     return _kv_exchange(client, sid, step, jax.process_index(),
-                        ctx.num_processes, local_has_data, local_rows)
+                        ctx.num_processes, local_has_data, local_rows,
+                        cancel=cancel)
   from jax.experimental import multihost_utils
   flags = multihost_utils.process_allgather(
       np.asarray([int(local_has_data), int(local_rows)], np.int32))
@@ -137,6 +172,7 @@ class SyncReplicasIterator:
   def __init__(self, iterator: Iterator[Batch],
                drop_remainder: Optional[bool] = None,
                ctx: Optional[Context] = None):
+    import threading
     self._it = iter(iterator)
     self._ctx = ctx or Context.get()
     if drop_remainder is None:
@@ -145,9 +181,52 @@ class SyncReplicasIterator:
     self._template: Optional[Batch] = None
     self._sid = next(_SYNC_IDS)
     self._step_no = 0
+    self._cancel = threading.Event()
 
   def __iter__(self):
     return self
+
+  def close(self) -> None:
+    """Cancel any in-flight peer wait and GC this rank's KV keys.
+
+    An abandoned iterator (consumer ``break``, early ``close``) must not
+    leave its producer thread blocked in a peer wait, nor leak its
+    coordination keys for the life of the job."""
+    self._cancel.set()
+    self._gc_keys()
+
+  def _gc_keys(self) -> None:
+    client = _coord_client()
+    if client is None or self._ctx.num_processes <= 1:
+      return
+    import jax
+    rank = jax.process_index()
+    # The rolling delete in _kv_exchange leaves at most the final two
+    # steps' keys; clear them (best-effort — the service tolerates
+    # deletes of missing keys).
+    for s in range(max(0, self._step_no - 2), self._step_no + 1):
+      try:
+        client.key_value_delete(f'hb/sync/{self._sid}/{s}/{rank}')
+      except Exception:  # noqa: BLE001
+        pass
+
+  def _finalize(self) -> None:
+    """Zero-leak teardown at synchronized exhaustion.
+
+    All replicas reach this after completing the SAME final exchange, so
+    a short barrier proves every peer finished its read loop — after
+    which deleting this rank's remaining keys cannot race a reader."""
+    client = _coord_client()
+    if client is None or self._ctx.num_processes <= 1 or self._cancel.is_set():
+      return
+    try:
+      # Peers completed the same exchange microseconds apart; a short
+      # timeout only fires if some rank took an abnormal exit path, in
+      # which case we just skip GC.
+      client.wait_at_barrier(f'hb/sync/{self._sid}/done', 10_000)
+    except Exception:  # noqa: BLE001 — GC barrier is best-effort
+      return
+    self._gc_keys()
 
   def _empty_like(self, template: Batch, target: int) -> Batch:
     """A ``target``-row batch of the template's schema with no valid
@@ -191,9 +270,14 @@ class SyncReplicasIterator:
     step = self._step_no
     self._step_no += 1
     if self._drop_remainder:
-      any_data, all_data, _ = _global_state(has_data, 0, self._ctx,
-                                            self._sid, step)
+      try:
+        any_data, all_data, _ = _global_state(has_data, 0, self._ctx,
+                                              self._sid, step,
+                                              cancel=self._cancel)
+      except SyncCancelled:
+        raise StopIteration from None
       if not all_data:
+        self._finalize()
         raise StopIteration
       return batch  # type: ignore[return-value]
     rows = 0
@@ -201,9 +285,14 @@ class SyncReplicasIterator:
       for col in batch.values():
         rows = num_rows(col)
         break
-    any_data, _, target = _global_state(has_data, rows, self._ctx,
-                                        self._sid, step)
+    try:
+      any_data, _, target = _global_state(has_data, rows, self._ctx,
+                                          self._sid, step,
+                                          cancel=self._cancel)
+    except SyncCancelled:
+      raise StopIteration from None
     if not any_data:
+      self._finalize()
       raise StopIteration
     # The assembled global batch must divide the mesh's data axis:
     # round the agreed row count up to a multiple of the per-process

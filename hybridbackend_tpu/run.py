@@ -111,11 +111,30 @@ def main():
       for p in procs:
         if p.poll() is None:
           p.send_signal(signal.SIGTERM)
+      deadline = time.time() + 10.0
       for p in procs:
-        p.wait()
+        try:
+          p.wait(timeout=max(0.1, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+          p.kill()  # a TERM-ignoring wedge must not hang the launcher
+          p.wait()
     sys.exit(code)
 
   # Child (or direct) execution path.
+  if 'HB_RUN_PROCESS_ID' in os.environ:
+    # Liveness instrumentation: a wedged child must self-report. SIGUSR2
+    # dumps all thread stacks on demand; HB_RUN_FAULT_TIMEOUT=<seconds>
+    # dumps-and-exits if the child is still alive after the deadline
+    # (reference failure semantics: a hung worker must surface, not
+    # stall the job — run.py:215-228).
+    import faulthandler
+    try:
+      faulthandler.register(signal.SIGUSR2, all_threads=True)
+    except Exception:  # noqa: BLE001 — platform-dependent
+      pass
+    fto = os.environ.get('HB_RUN_FAULT_TIMEOUT')
+    if fto:
+      faulthandler.dump_traceback_later(float(fto), exit=True)
   if not opts.no_distributed:
     import jax
     if 'HB_RUN_PROCESS_ID' in os.environ:

@@ -214,21 +214,15 @@ def test_multiprocess_eval_exact_uneven_tail(tmp_path):
   script.write_text(EVAL_EXACT_SCRIPT)
   env = dict(os.environ)
   env.pop('XLA_FLAGS', None)
+  # If a child ever wedges, it dumps all thread stacks and exits instead
+  # of hanging the suite (round-2 wedge was producer-thread device_put
+  # racing consumer collectives; device ops are single-threaded in
+  # multi-process mode now — see data/prefetch.py).
+  env['HB_RUN_FAULT_TIMEOUT'] = '300'
   cmd = [sys.executable, '-m', 'hybridbackend_tpu.run',
          '--simulate', '2', '--devices-per-process', '2', str(script)]
   cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-  # One retry on timeout: the flow completes in ~45 s standalone (5/5),
-  # but inside a long full-suite run the children occasionally wedge
-  # mid-eval (infra-level; results are exact whenever it completes).
-  # PR_SET_PDEATHSIG in run.py guarantees a timed-out attempt leaves no
-  # orphans to poison the retry.
-  for attempt in range(2):
-    try:
-      out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                           timeout=420, cwd=cwd)
-      break
-    except subprocess.TimeoutExpired:
-      if attempt == 1:
-        raise
+  out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=420, cwd=cwd)
   assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
   assert out.stdout.count('CHILD_EVAL_OK') == 2, out.stdout
