@@ -33,6 +33,45 @@ from hybridbackend_tpu.training.train import (
 
 LOG = logging.getLogger('hybridbackend_tpu')
 
+
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('has_pel', 'has_valid', 'has_group'))
+def _metrics_step(auc_s, loss_s, gauc_s, labels, preds, pel, loss, valid,
+                  ind, *, has_pel, has_valid, has_group):
+  """One jitted program for a whole batch's metric updates.
+
+  Eagerly dispatching each jnp op of auc/mean/gauc separately would run
+  dozens of tiny multi-process programs per eval batch (each with its
+  own compile and its own collectives on the submission stream); fusing
+  them keeps eval fast and gives every process ONE identical program to
+  submit per batch — the same single-submission discipline as the train
+  step."""
+  w = valid if has_valid else None
+  auc_s = hbm.auc_update(auc_s, labels, preds, weights=w)
+  if has_pel:
+    loss_s = hbm.mean_update(loss_s, pel, w)
+  elif has_valid:
+    loss_s = hbm.mean_update(loss_s, loss[None], jnp.sum(valid)[None])
+  else:
+    loss_s = hbm.mean_update(
+        loss_s, loss[None],
+        jnp.asarray([labels.shape[0]], jnp.float32))
+  if has_group:
+    if has_valid:
+      # Padding rows must not merge into a real group: give them a
+      # sentinel indicator below every real one — their group is
+      # all-negative (labels are zero) and gauc skips it. Signed cast
+      # so the sentinel cannot wrap into a real id.
+      ind = ind.astype(jnp.int64)
+      ind = jnp.where(valid > 0, ind, jnp.min(ind) - 1)
+    # sort_groups: eval batches are not guaranteed group-contiguous.
+    gauc_s = hbm.gauc_update(gauc_s, labels, preds, ind,
+                             sort_groups=True)
+  return auc_s, loss_s, gauc_s
+
 OPTIONS.register('save_checkpoint_steps', 0, env='HB_SAVE_CHECKPOINT_STEPS',
                  doc='Checkpoint every N steps (0 = only at end).')
 OPTIONS.register('summary_steps', 100, env='HB_SUMMARY_STEPS',
@@ -90,7 +129,8 @@ class Trainer:
       optimizer = optax.adagrad(0.1)
     self._optimizer = optimizer
     self.state = TrainState.create(params, optimizer, self._ctx)
-    self._step_fn = make_train_step(loss_fn, optimizer, self._ctx)
+    self._step_fn = make_train_step(loss_fn, optimizer, self._ctx,
+                                    params_template=self.state.params)
     self._eval_fn = make_eval_step(
         lambda p, b: loss_fn(p, b), self._ctx)
     model_dir = model_dir or OPTIONS['model_dir']
@@ -223,44 +263,43 @@ class Trainer:
     auc_s = hbm.auc_init()
     loss_s = hbm.mean_init()
     gauc_s = hbm.gauc_init()
+    zero = jnp.zeros((), jnp.float32)
     n = 0
+    loss_exact = True
     for batch in it:
       labels = batch[self._label_key]
       if labels.shape[0] == 0:
         continue
       valid = batch.get(SYNC_VALID_KEY)
       loss, aux = self._eval_fn(self.params, batch)
-      preds = aux['preds']
-      auc_s = hbm.auc_update(auc_s, labels, preds, weights=valid)
-      if 'per_example_loss' in aux:
-        loss_s = hbm.mean_update(loss_s, aux['per_example_loss'], valid)
-      elif valid is None:
-        loss_s = hbm.mean_update(loss_s, loss[None],
-                                 jnp.asarray([labels.shape[0]],
-                                             jnp.float32))
-      else:
-        # Scalar-loss fallback: weight by the valid count. Exact when
-        # the loss fn masks by batch['_sync_valid'] (see docstring).
-        loss_s = hbm.mean_update(loss_s, loss[None],
-                                 jnp.sum(valid)[None])
-      if self._group_key is not None:
-        ind = batch[self._group_key]
-        if valid is not None:
-          # Padding rows must not merge into a real group: give them a
-          # sentinel indicator below every real one — their group is
-          # all-negative (labels are zero) and gauc skips it. Signed
-          # cast so the sentinel cannot wrap into a real id.
-          ind = ind.astype(jnp.int64)
-          ind = jnp.where(valid > 0, ind, jnp.min(ind) - 1)
-        # sort_groups: eval batches are not guaranteed group-contiguous.
-        gauc_s = hbm.gauc_update(gauc_s, labels, preds, ind,
-                                 sort_groups=True)
+      has_pel = 'per_example_loss' in aux
+      if not has_pel and valid is not None and loss_exact:
+        # Scalar-loss fallback weights by the valid count — exact only
+        # when the loss fn itself masks by batch['_sync_valid'], which
+        # the Trainer cannot verify. Exactness must not silently depend
+        # on a docstring: warn once and flag the result.
+        loss_exact = False
+        LOG.warning(
+            "evaluate: loss function returns only a scalar loss while "
+            "batches carry '_sync_valid' padding weights; the reported "
+            "'loss' averages over padding rows unless the loss fn masks "
+            "by batch['_sync_valid']. Return aux['per_example_loss'] "
+            "for an exact global mean. Results include loss_exact=0.0.")
+      auc_s, loss_s, gauc_s = _metrics_step(
+          auc_s, loss_s, gauc_s, labels, aux['preds'],
+          aux.get('per_example_loss', zero), loss,
+          zero if valid is None else valid,
+          zero if self._group_key is None else batch[self._group_key],
+          has_pel=has_pel, has_valid=valid is not None,
+          has_group=self._group_key is not None)
       n += 1
     out = {
         'auc': float(hbm.auc_result(auc_s)),
         'loss': float(hbm.mean_result(loss_s)),
         'batches': float(n),
     }
+    if not loss_exact:
+      out['loss_exact'] = 0.0
     if self._group_key is not None:
       out['gauc'] = float(hbm.gauc_result(gauc_s))
     writer = self._get_summary_writer()
