@@ -34,11 +34,18 @@ class Partitioned(NamedTuple):
       flat bucket position of each original element (the reference's
       "restore index", ``partition_by_modulo_ops.cc:46-155``). A payload
       that round-trips through the buckets is unbucketed with
-      ``flat_payload[restore]``.
+      ``flat_payload[restore]``. Elements discarded via the ``valid``
+      mask (and bucket-overflow lanes) carry an out-of-range position —
+      unbucket with ``mode='clip'`` and mask the result.
+    overflow: scalar bool — True when any bucket received more valid
+      elements than ``capacity`` (those lanes were dropped). Callers
+      needing losslessness should fall back to a full-capacity exchange
+      when set (cf. ``emb_lookup_overflow_fallback``).
   """
   buckets: jax.Array
   sizes: jax.Array
   restore: jax.Array
+  overflow: jax.Array = None
 
 
 def partition_by_modulo(ids: jax.Array, num_shards: int,
@@ -59,32 +66,48 @@ def partition_by_modulo(ids: jax.Array, num_shards: int,
 
 def partition_by_fn(ids: jax.Array, num_shards: int, shard_fn,
                     capacity: Optional[int] = None,
-                    fill_value: int = 0) -> Partitioned:
-  """Bucket ``ids`` by an arbitrary shard assignment function."""
+                    fill_value: int = 0,
+                    valid: Optional[jax.Array] = None) -> Partitioned:
+  """Bucket ``ids`` by an arbitrary shard assignment function.
+
+  ``valid`` (optional ``[n]`` bool) marks elements to discard: they
+  consume no bucket capacity and their ``restore`` position is
+  out-of-range (unbucket payloads with ``mode='clip'`` and mask). This
+  is how padding/-1 lanes stay out of tight-capacity exchanges
+  (reference: invalid ids never enter the alltoallv,
+  ``partition_by_modulo_ops.cc:46-155``).
+  """
   n = ids.shape[0]
   if capacity is None:
     capacity = n
   shard = shard_fn(ids).astype(jnp.int32)
+  if valid is not None:
+    # Discarded elements route to a virtual bucket ``num_shards`` that
+    # is never materialized.
+    shard = jnp.where(valid, shard, jnp.int32(num_shards))
   # Stable sort by shard keeps intra-bucket order = original order.
   order = jnp.argsort(shard, stable=True)
   sorted_shard = shard[order]
   sorted_ids = ids[order]
-  sizes = jnp.bincount(shard, length=num_shards).astype(jnp.int32)
+  counts = jnp.bincount(shard, length=num_shards + 1).astype(jnp.int32)
+  sizes = counts[:num_shards]
   starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(sizes)[:-1].astype(jnp.int32)])
+                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
   pos_in_bucket = (
       jnp.arange(n, dtype=jnp.int32) - starts[sorted_shard])
-  flat_pos = sorted_shard * capacity + pos_in_bucket
-  valid = pos_in_bucket < capacity
-  flat_pos_safe = jnp.where(valid, flat_pos, 0)
+  in_cap = (pos_in_bucket < capacity) & (sorted_shard < num_shards)
+  flat_pos = jnp.where(in_cap, sorted_shard * capacity + pos_in_bucket,
+                       num_shards * capacity)
   buckets = jnp.full((num_shards * capacity,), fill_value, ids.dtype)
-  buckets = buckets.at[flat_pos_safe].set(
-      jnp.where(valid, sorted_ids, buckets[0]), mode='drop')
+  buckets = buckets.at[flat_pos].set(
+      jnp.where(in_cap, sorted_ids, buckets[0]), mode='drop')
   # restore[original_index] = flat bucket position
   restore = jnp.zeros((n,), jnp.int32).at[order].set(flat_pos)
+  overflow = jnp.any(sizes > capacity)
   if capacity < n:
     sizes = jnp.minimum(sizes, capacity)
-  return Partitioned(buckets.reshape(num_shards, capacity), sizes, restore)
+  return Partitioned(buckets.reshape(num_shards, capacity), sizes, restore,
+                     overflow)
 
 
 def partition_by_dual_modulo(

@@ -85,7 +85,10 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
     cap = max(ctx.world_size,
               (int(round(flat_ids.shape[0] * ratio)) // ctx.world_size)
               * ctx.world_size)
-    u = _unique(flat_ids, capacity=cap, fill_value=0)
+    # Fill with -1 (invalid): pad lanes must not consume bucket capacity
+    # in the downstream bucketed exchange, and every strategy zeros
+    # invalid lanes.
+    u = _unique(flat_ids, capacity=cap, fill_value=-1)
     with OPTIONS.override(emb_unique_ratio=1.0):
       emb_u = lookup(table, u.values, config, ctx=ctx, strategy=strategy)
       # Capacity overflow would silently alias surplus uniques to slot
@@ -145,19 +148,39 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   wire = OPTIONS['comm_wire_dtype']
   wire = None if wire in ('float32', '', None) else jnp.dtype(wire)
 
+  # Bucketed (wire-proportional) exchange capacity: ceil(ratio·b/W) rows
+  # per peer bucket instead of b — the whole point of the alltoall
+  # strategies (reference alltoallv moves exactly-sized payloads,
+  # nccl_alltoallv.cc:200-350). Overflow falls back to the exact
+  # full-capacity exchange under a globally-uniform predicate.
+  import math
+  b_local = flat.shape[0] // world
+  bratio = float(OPTIONS.get_for('emb_lookup_bucket_ratio', config.name))
+  fallback = bool(OPTIONS['emb_lookup_overflow_fallback'])
+
+  def _cap(buckets: int) -> Optional[int]:
+    if bratio <= 0:
+      return None
+    c = max(1, int(math.ceil(bratio * b_local / buckets)))
+    return c if c < b_local else None
+
   if strategy == 'allgather':
     body = functools.partial(_lookup_allgather, axes=axes,
                              rows_per_shard=rows_per_shard)
   elif strategy == 'alltoall':
     body = functools.partial(_lookup_alltoall, axes=axes, world=world,
-                             rows_per_shard=rows_per_shard, wire=wire)
+                             rows_per_shard=rows_per_shard, wire=wire,
+                             cap=_cap(world), fallback=fallback)
   elif strategy == 'hierarchical':
     if len(axes) != 2:
       raise ValueError('hierarchical lookup needs a 2-axis (dcn, ici) mesh')
+    ici_size = ctx.mesh.shape[axes[1]]
+    dcn_size = ctx.mesh.shape[axes[0]]
     body = functools.partial(
         _lookup_hierarchical, dcn_axis=axes[0], ici_axis=axes[1],
-        dcn_size=ctx.mesh.shape[axes[0]], ici_size=ctx.mesh.shape[axes[1]],
-        rows_per_shard=rows_per_shard, wire=wire)
+        dcn_size=dcn_size, ici_size=ici_size,
+        rows_per_shard=rows_per_shard, wire=wire,
+        cap0=_cap(ici_size), cap1=_cap(dcn_size), fallback=fallback)
   else:
     raise ValueError(f'Unknown lookup strategy: {strategy!r}')
 
@@ -204,60 +227,92 @@ def _wire(x, wire):
   return x if wire is None else x.astype(wire)
 
 
-def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard,
-                     wire=None):
-  """Bucketed-partition → a2a ids → local gather → a2a embeddings back.
+def _unbucket(flat_payload, restore):
+  """Unbucket with clip: discarded/overflow lanes carry an out-of-range
+  restore position; their (garbage) values must be masked by the
+  caller."""
+  return jnp.take(flat_payload,
+                  jnp.minimum(restore, flat_payload.shape[0] - 1), axis=0)
 
-  Literal TPU translation of the reference exchange
-  (``sharding.py:171-205`` / ``nccl_alltoallv.cc:200-350``) with
-  fixed-capacity buckets instead of dynamic sizes.
-  """
-  me = axis_index_t(axes)
-  part = partition_by_fn(ids_local, world,
-                         lambda x: x // rows_per_shard,
-                         fill_value=0)
+
+def _a2a_round_trip(shard, part, *, axes, me, rows_per_shard, wire):
+  """Ship bucketed ids to owners, gather, ship embeddings back,
+  unbucket. Payload volume is ``[W, cap]`` ids out / ``[W, cap, D]``
+  embeddings back — wire-proportional when ``cap < b``."""
   recv, recv_sizes = all_to_all_v_t(part.buckets, part.sizes, axes)
   local = jnp.clip(recv - me * rows_per_shard, 0, rows_per_shard - 1)
   emb = jnp.take(shard, local, axis=0, mode='clip')      # [W, cap, D]
   back, _ = all_to_all_v_t(_wire(emb, wire), recv_sizes, axes)
   flat = back.astype(shard.dtype).reshape(-1, shard.shape[1])
-  out = jnp.take(flat, part.restore, axis=0)             # [b, D]
-  # Out-of-range ids have no owner shard: zero them (same contract as the
-  # allgather and gspmd strategies).
+  return _unbucket(flat, part.restore)                   # [b, D]
+
+
+def _lookup_alltoall(shard, ids_local, *, axes, world, rows_per_shard,
+                     wire=None, cap=None, fallback=True):
+  """Bucketed-partition → a2a ids → local gather → a2a embeddings back.
+
+  Literal TPU translation of the reference exchange
+  (``sharding.py:171-205`` / ``nccl_alltoallv.cc:200-350``). With
+  ``cap`` set (``emb_lookup_bucket_ratio``), each device ships only
+  ``[W, cap]`` ids and receives ``[W, cap, D]`` embeddings — a
+  ``b/(W·cap)`` wire shrink vs. the allgather volume; bucket overflow
+  re-routes the step through the exact full-capacity exchange under a
+  globally-uniform predicate.
+  """
+  me = axis_index_t(axes)
+  b = ids_local.shape[0]
   owner = ids_local // rows_per_shard
   valid = (owner >= 0) & (owner < world)
+  shard_fn = lambda x: jnp.clip(x // rows_per_shard, 0, world - 1)
+
+  def run(capacity):
+    part = partition_by_fn(ids_local, world, shard_fn, capacity=capacity,
+                           fill_value=-1, valid=valid)
+    return part
+
+  if cap is None or cap >= b:
+    out = _a2a_round_trip(shard, run(None), axes=axes, me=me,
+                          rows_per_shard=rows_per_shard, wire=wire)
+    return jnp.where(valid[:, None], out, 0)
+  part = run(cap)
+  if fallback:
+    pred = jax.lax.psum(part.overflow.astype(jnp.int32), axes) > 0
+    out = jax.lax.cond(
+        pred,
+        lambda _: _a2a_round_trip(shard, run(None), axes=axes, me=me,
+                                  rows_per_shard=rows_per_shard, wire=wire),
+        lambda _: _a2a_round_trip(shard, part, axes=axes, me=me,
+                                  rows_per_shard=rows_per_shard, wire=wire),
+        None)
+  else:
+    out = _a2a_round_trip(shard, part, axes=axes, me=me,
+                          rows_per_shard=rows_per_shard, wire=wire)
   return jnp.where(valid[:, None], out, 0)
 
 
-def _lookup_hierarchical(shard, ids_local, *, dcn_axis, ici_axis,
-                         dcn_size, ici_size, rows_per_shard, wire=None):
-  """Two-stage topology-aware exchange (reference ``sharding.py:207-278``,
-  dual-modulo): ids travel (a,b) --ICI--> (a,b') --DCN--> (a',b') where
-  the owner device of a row is (a', b'). The intra-node hop rides ICI
-  bandwidth; only owner-column traffic crosses DCN — the reference's
-  hierarchical alltoallv, with static-capacity buckets.
-  """
-  world = dcn_size * ici_size
-  my_dcn = jax.lax.axis_index(dcn_axis)
-  me = my_dcn * ici_size + jax.lax.axis_index(ici_axis)
-  d = shard.shape[1]
+def _hier_pipeline(shard, ids_local, valid, *, dcn_axis, ici_axis,
+                   dcn_size, ici_size, world, rows_per_shard, me,
+                   wire, cap0, cap1):
+  """One hierarchical round trip at the given stage capacities.
 
-  owner = ids_local // rows_per_shard
-  valid = (owner >= 0) & (owner < world)
+  Returns ``(embeddings [b, D], overflow flag)``.
+  """
+  d = shard.shape[1]
+  clip_owner = lambda x: jnp.clip(x // rows_per_shard, 0, world - 1)
 
   # Stage 0 (ICI): route each id to the local device whose ici position
   # matches the owner's ici position.
   p0 = partition_by_fn(ids_local, ici_size,
-                       lambda x: (x // rows_per_shard) % ici_size,
-                       fill_value=0)
-  r0, s0 = all_to_all_v_t(p0.buckets, p0.sizes, ici_axis)   # [ici, n]
+                       lambda x: clip_owner(x) % ici_size,
+                       capacity=cap0, fill_value=-1, valid=valid)
+  r0, s0 = all_to_all_v_t(p0.buckets, p0.sizes, ici_axis)   # [ici, cap0]
   ids1 = r0.reshape(-1)
 
-  # Stage 1 (DCN): route to the owner's dcn position.
+  # Stage 1 (DCN): route to the owner's dcn position. Fill lanes from
+  # stage 0 (-1) are discarded, not bucketed.
   p1 = partition_by_fn(ids1, dcn_size,
-                       lambda x: jnp.clip(x // rows_per_shard, 0,
-                                          world - 1) // ici_size,
-                       fill_value=0)
+                       lambda x: clip_owner(x) // ici_size,
+                       capacity=cap1, fill_value=-1, valid=ids1 >= 0)
   r1, s1 = all_to_all_v_t(p1.buckets, p1.sizes, dcn_axis)   # [dcn, cap1]
 
   # Local gather on the owner shard.
@@ -266,12 +321,46 @@ def _lookup_hierarchical(shard, ids_local, *, dcn_axis, ici_axis,
 
   # Reverse stage 1 (DCN) then reverse stage 0 (ICI); the payload rides
   # both hops in the wire dtype.
-  b1, _ = all_to_all_v_t(_wire(emb1, wire), s1, dcn_axis)   # [dcn, cap1, D]
-  emb_ids1 = jnp.take(b1.reshape(-1, d), p1.restore, axis=0)
-  emb0 = emb_ids1.reshape(ici_size, -1, d)                  # [ici, n, D]
-  b0, _ = all_to_all_v_t(emb0, s0, ici_axis)                # [ici, n, D]
-  out = jnp.take(b0.astype(shard.dtype).reshape(-1, d), p0.restore,
-                 axis=0)                                    # [b, D]
+  b1, _ = all_to_all_v_t(_wire(emb1, wire), s1, dcn_axis)
+  emb_ids1 = _unbucket(b1.astype(shard.dtype).reshape(-1, d), p1.restore)
+  emb0 = emb_ids1.reshape(ici_size, -1, d)                  # [ici, cap0, D]
+  b0, _ = all_to_all_v_t(_wire(emb0, wire), s0, ici_axis)
+  out = _unbucket(b0.astype(shard.dtype).reshape(-1, d), p0.restore)
+  return out, p0.overflow | p1.overflow
+
+
+def _lookup_hierarchical(shard, ids_local, *, dcn_axis, ici_axis,
+                         dcn_size, ici_size, rows_per_shard, wire=None,
+                         cap0=None, cap1=None, fallback=True):
+  """Two-stage topology-aware exchange (reference ``sharding.py:207-278``,
+  dual-modulo): ids travel (a,b) --ICI--> (a,b') --DCN--> (a',b') where
+  the owner device of a row is (a', b'). The intra-node hop rides ICI
+  bandwidth; only owner-column traffic crosses DCN — the reference's
+  hierarchical alltoallv. Both hops use ``emb_lookup_bucket_ratio``
+  static-capacity buckets with the exact full-capacity fallback on
+  overflow.
+  """
+  world = dcn_size * ici_size
+  my_dcn = jax.lax.axis_index(dcn_axis)
+  me = my_dcn * ici_size + jax.lax.axis_index(ici_axis)
+
+  owner = ids_local // rows_per_shard
+  valid = (owner >= 0) & (owner < world)
+  kw = dict(dcn_axis=dcn_axis, ici_axis=ici_axis, dcn_size=dcn_size,
+            ici_size=ici_size, world=world, rows_per_shard=rows_per_shard,
+            me=me, wire=wire)
+
+  bucketed = cap0 is not None or cap1 is not None
+  out, ovf = _hier_pipeline(shard, ids_local, valid, cap0=cap0, cap1=cap1,
+                            **kw)
+  if bucketed and fallback:
+    pred = jax.lax.psum(ovf.astype(jnp.int32), (dcn_axis, ici_axis)) > 0
+    out = jax.lax.cond(
+        pred,
+        lambda _: _hier_pipeline(shard, ids_local, valid, cap0=None,
+                                 cap1=None, **kw)[0],
+        lambda _: out,
+        None)
   return jnp.where(valid[:, None], out, 0)
 
 

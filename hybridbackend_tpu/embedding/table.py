@@ -46,6 +46,24 @@ OPTIONS.register('emb_lookup_strategy', 'allgather',
 OPTIONS.register('emb_unique_ratio', 1.0, env='HB_EMB_UNIQUE_RATIO',
                  doc='Capacity of the static dedup as a fraction of batch '
                      '(1.0 = exact, lossless).')
+OPTIONS.register(
+    'emb_lookup_bucket_ratio', 2.0, env='HB_EMB_LOOKUP_BUCKET_RATIO',
+    doc='Forward alltoall/hierarchical lookup bucket capacity as a '
+        'multiple of the uniform per-peer share (ceil(ratio*b/W) rows '
+        'per bucket). With ratio r the id payload shrinks from [W*b] to '
+        '[r*b] and the embedding payload from [W*b, D] to [r*b, D] — '
+        'the wire-proportional win of the reference alltoallv '
+        '(nccl_alltoallv.cc:200-350). Modulo row sharding spreads ids '
+        'near-uniformly, so 2.0 has large headroom; overflow never '
+        'corrupts — see emb_lookup_overflow_fallback. <= 0 disables '
+        'bucketing (full-capacity exchange).')
+OPTIONS.register(
+    'emb_lookup_overflow_fallback', True,
+    env='HB_EMB_LOOKUP_OVERFLOW_FALLBACK',
+    doc='When a forward lookup bucket overflows, re-route that step '
+        'through the full-capacity exchange (globally-uniform lax.cond '
+        'branch, exact). Disabling leaves garbage embeddings in '
+        'overflowed lanes — only for benchmarking.')
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,13 +122,18 @@ class TableConfig:
     return _round_up(v, world)
 
   def row_index(self, ids: jax.Array, ctx: Optional[Context] = None):
-    """Map feature ids to physical table rows (identity unless shuffled)."""
+    """Map feature ids to physical table rows (identity unless shuffled).
+
+    Invalid ids (``< 0``, e.g. batch-padding lanes) stay invalid: the
+    uint32 mix would otherwise map ``-1`` to an arbitrary *valid* row,
+    breaking the no-owner-shard → zero-embedding contract downstream."""
     if not self.shuffle_ids:
       return ids
     n = self.padded_vocab(ctx)
     c = _mix_constant(n)
-    return (ids.astype(jnp.uint32) * jnp.uint32(c) % jnp.uint32(n)).astype(
-        ids.dtype)
+    mixed = (ids.astype(jnp.uint32) * jnp.uint32(c)
+             % jnp.uint32(n)).astype(ids.dtype)
+    return jnp.where(ids >= 0, mixed, ids)
 
   def resolve(self, ctx: Optional[Context] = None) -> 'TableConfig':
     """Bake the CURRENT shard policy into an explicit config.

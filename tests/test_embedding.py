@@ -268,3 +268,128 @@ def test_lookup_arbitrary_batch_sizes():
   t2, _ = sparse_adagrad_apply(tbl, st, jnp.asarray(ids), demb, cfg, 0.1)
   touched = np.abs(np.asarray(t2) - host).sum(1) > 0
   assert set(np.nonzero(touched)[0].tolist()) == set(ids.tolist())
+
+
+class TestForwardBucketedExchange:
+  """Round-3: the FORWARD lookup exchange is wire-proportional
+  (emb_lookup_bucket_ratio) with an exact full-capacity fallback on
+  bucket overflow — sibling of the backward's emb_update_bucket_ratio
+  (reference: alltoallv moves exactly-sized payloads both ways,
+  nccl_alltoallv.cc:200-350)."""
+
+  def _table(self, vocab=1024, dim=8, **kw):
+    cfg = TableConfig('fb', vocab, dim, **kw)
+    return cfg, create_table(cfg, jax.random.PRNGKey(0))
+
+  def test_bucketed_exact_uniform_ids(self):
+    """Uniform ids fit ratio-2 buckets; results match the host gather."""
+    import hybridbackend_tpu as hb
+    cfg, tbl = self._table()
+    host = np.asarray(tbl)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 1024, 512).astype(np.int32)
+    for strategy in ('alltoall', 'hierarchical'):
+      with hb.scope(emb_lookup_bucket_ratio=2.0):
+        got = np.asarray(lookup(tbl, jnp.asarray(ids), cfg,
+                                strategy=strategy))
+      np.testing.assert_allclose(got, host[ids], atol=1e-6)
+
+  def test_overflow_falls_back_exact(self):
+    """ALL ids owned by shard 0 → every bucket overflows at ratio 2 →
+    the globally-uniform fallback must keep results exact."""
+    import hybridbackend_tpu as hb
+    cfg, tbl = self._table()
+    host = np.asarray(tbl)
+    rows_per_shard = 1024 // 8
+    ids = np.arange(64).astype(np.int32) % rows_per_shard  # all shard 0
+    for strategy in ('alltoall', 'hierarchical'):
+      with hb.scope(emb_lookup_bucket_ratio=2.0):
+        got = np.asarray(lookup(tbl, jnp.asarray(ids), cfg,
+                                strategy=strategy))
+      np.testing.assert_allclose(got, host[ids], atol=1e-6)
+
+  def test_gradients_through_bucketed_path(self):
+    import hybridbackend_tpu as hb
+    cfg, tbl = self._table()
+    rng = np.random.RandomState(1)
+    ids_np = rng.randint(0, 1024, 256).astype(np.int32)
+    ids = jnp.asarray(ids_np)
+
+    def loss(t):
+      with hb.scope(emb_lookup_bucket_ratio=2.0):
+        return jnp.sum(lookup(t, ids, cfg, strategy='alltoall') ** 2)
+
+    g = np.asarray(jax.grad(loss)(tbl))
+    expected = np.zeros_like(np.asarray(tbl))
+    ht = np.asarray(tbl)
+    for i in ids_np:
+      expected[i] += 2 * ht[i]
+    np.testing.assert_allclose(g, expected, rtol=1e-4, atol=1e-6)
+
+  def test_hlo_forward_wire_volume(self):
+    """The forward exchange payload must be [W, cap, D] with cap·W < b —
+    NOT the allgather volume ([W·b] ids / [W·b, D] embeddings). Sibling
+    of test_sparse_update.py::test_hlo_wire_volume for the backward."""
+    import math
+    import re
+    import hybridbackend_tpu as hb
+    dim = 8
+    cfg, tbl = self._table(dim=dim)
+    batch, world, ratio = 512, 8, 2.0
+    b_local = batch // world
+    cap = max(1, int(math.ceil(ratio * b_local / world)))
+    # The point: per-device payload (W·cap rows = ratio·b_local) shrinks
+    # below the full exchange's W·b_local rows (= global batch).
+    assert cap * world < batch
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 1024, batch),
+                      jnp.int32)
+    with hb.scope(emb_lookup_bucket_ratio=ratio,
+                  emb_lookup_overflow_fallback=False):
+      hlo = jax.jit(
+          lambda t, i: lookup(t, i, cfg, strategy='alltoall')
+      ).lower(tbl, ids).compile().as_text()
+    a2a_lines = [l for l in hlo.splitlines() if 'all-to-all' in l]
+    # Bucketed embedding payload: [W, cap, D] (or W operands of
+    # [1, cap, D]).
+    assert any(re.search(rf'f32\[(1,)?{cap},{dim}\]', l) or
+               re.search(rf'f32\[{world},{cap},{dim}\]', l)
+               for l in a2a_lines), a2a_lines[:10]
+    # No full-volume exchange: no [W*b_local, D] = [batch/W*W, D]
+    # embedding all-gather / all-to-all anywhere.
+    big = rf'f32\[(1,)?{b_local},{dim}\]'
+    bad = [l for l in hlo.splitlines()
+           if ('all-gather' in l or 'all-to-all' in l)
+           and re.search(big, l)]
+    assert not bad, bad
+
+  def test_composes_with_unique_ratio(self):
+    """Dedup shrinks the exchange input; bucketing shrinks the per-peer
+    payload — together the wire volume is ratio·u/W rows per peer."""
+    import hybridbackend_tpu as hb
+    cfg, tbl = self._table()
+    host = np.asarray(tbl)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 48, 512).astype(np.int32)   # <=48 uniques
+    with hb.scope(emb_unique_ratio=0.125,            # capacity 64 >= 48
+                  emb_lookup_bucket_ratio=2.0):
+      got = np.asarray(lookup(tbl, jnp.asarray(ids), cfg,
+                              strategy='alltoall'))
+    np.testing.assert_allclose(got, host[ids], atol=1e-6)
+
+
+def test_shuffled_ids_preserve_negative_lanes():
+  """row_index must keep -1 (padding) ids invalid: the uint32 mix would
+  otherwise map them to an arbitrary real row (advisor finding r2)."""
+  cfg = TableConfig('sh', 512, 8, shuffle_ids=True)
+  ids = jnp.asarray([-1, 0, 5, -1, 511], jnp.int32)
+  rows = np.asarray(cfg.row_index(ids))
+  assert rows[0] == -1 and rows[3] == -1
+  assert (rows[[1, 2, 4]] >= 0).all()
+  # End-to-end: padded (odd-size) lookup on a shuffled table stays exact.
+  tbl = create_table(cfg, jax.random.PRNGKey(0))
+  host = np.asarray(tbl)
+  idn = np.random.RandomState(0).randint(0, 512, 13).astype(np.int32)
+  for strategy in ('allgather', 'alltoall'):
+    got = np.asarray(lookup(tbl, jnp.asarray(idn), cfg, strategy=strategy))
+    ref = np.asarray(lookup(tbl, jnp.asarray(idn), cfg, strategy='gspmd'))
+    np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -110,3 +110,26 @@ class TestUnique:
     ids = jnp.asarray([1, 1, 2, 2], dtype=jnp.int32)
     assert not bool(unique(ids, capacity=2).overflowed)
     assert not bool(unique(ids).overflowed)
+
+
+class TestPartitionValidMask:
+  """Round-3 extension: valid-mask discard + overflow flag."""
+
+  def test_invalid_lanes_consume_no_capacity(self):
+    ids = jnp.asarray([4, -1, 8, -1, 0], jnp.int32)
+    part = partition_by_fn(ids, 4, lambda x: jnp.clip(x, 0, 15) // 4,
+                           capacity=2, valid=ids >= 0)
+    sizes = np.asarray(part.sizes)
+    np.testing.assert_array_equal(sizes, [1, 1, 1, 0])
+    assert not bool(part.overflow)
+    # Discarded lanes restore out-of-range.
+    restore = np.asarray(part.restore)
+    assert restore[1] >= 4 * 2 and restore[3] >= 4 * 2
+
+  def test_overflow_flag(self):
+    ids = jnp.zeros((8,), jnp.int32)
+    part = partition_by_fn(ids, 4, lambda x: x, capacity=2)
+    assert bool(part.overflow)
+    ids2 = jnp.arange(8, dtype=jnp.int32)
+    part2 = partition_by_fn(ids2, 4, lambda x: x % 4, capacity=2)
+    assert not bool(part2.overflow)
