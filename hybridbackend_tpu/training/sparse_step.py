@@ -100,24 +100,71 @@ def make_sparse_train_step(
                      "expected 'adagrad' or 'adam'")
   stacks_by_name = {s.stacked.name: s for s in fx.stacks}
 
+  from hybridbackend_tpu.training.train import (
+      _batch_spec, _grad_wire_dtype)
+  wire = _grad_wire_dtype()
+  use_wire = wire is not None and ctx.world_size > 1
+
   def step(state: SparseTrainState, batch):
     # 1. Fused lookups; tables are NOT differentiated.
     raw, ids_by_stack, layouts = fx.lookup_raw(state.tables, batch)
     raw = jax.tree_util.tree_map(jax.lax.stop_gradient, raw)
 
     # 2. Differentiate w.r.t. dense params AND the raw embeddings.
-    def loss_from(dense, raw_embs):
+    # ``layouts`` is static metadata (safe to close over); ``batch`` is
+    # threaded explicitly so the wire-compressed path can shard it.
+    def loss_from(dense, raw_embs, batch_):
       if raw_model_loss is not None:
         members = {}
         for name, emb in raw_embs.items():
           members.update(unpack_embeddings(
               stacks_by_name[name], emb, layouts[name]))
-        return raw_model_loss(dense, members, batch)
-      emb_f, dense_f = fx.combine_from_raw(raw_embs, layouts, batch)
-      return model_loss(dense, emb_f, dense_f, batch)
+        return raw_model_loss(dense, members, batch_)
+      emb_f, dense_f = fx.combine_from_raw(raw_embs, layouts, batch_)
+      return model_loss(dense, emb_f, dense_f, batch_)
 
-    (loss, aux), (dgrads, draw) = jax.value_and_grad(
-        loss_from, argnums=(0, 1), has_aux=True)(state.dense, raw)
+    if use_wire:
+      # Dense-tower gradient reduction at comm_gradient_wire_dtype
+      # (reference: gradient collectives cast on the wire,
+      # collective.py:291-296). The dense params are replicated and the
+      # raw embeddings / batch are batch-leading, so the manual-SPMD
+      # body sees exactly the per-device slice semantics GSPMD gives
+      # the global-array trace; raw-embedding grads stay batch-local.
+      from jax.sharding import PartitionSpec as P
+      axes = ctx.data_axes
+      world = ctx.world_size
+
+      def body(dense_l, raw_l, batch_l):
+        (loss, aux), (dg, dr) = jax.value_and_grad(
+            lambda d, r: loss_from(d, r, batch_l),
+            argnums=(0, 1), has_aux=True)(dense_l, raw_l)
+        dg = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g.astype(wire), axes)
+            .astype(g.dtype) / world, dg)
+        loss = jax.lax.pmean(loss, axes)
+        aux = jax.tree_util.tree_map(
+            lambda a: jax.lax.pmean(a, axes) if jnp.ndim(a) == 0 else a,
+            aux)
+        return loss, aux, dg, dr
+
+      bspec = lambda t: jax.tree_util.tree_map(
+          lambda l: _batch_spec(l, axes), t)
+      dspecs = jax.tree_util.tree_map(lambda l: P(), state.dense)
+      aux_shapes = jax.eval_shape(
+          lambda d, r, b: loss_from(d, r, b)[1], state.dense, raw, batch)
+      aux_specs = jax.tree_util.tree_map(
+          lambda a: P() if jnp.ndim(a) == 0 else _batch_spec(a, axes),
+          aux_shapes)
+      fn = jax.shard_map(
+          body, mesh=ctx.mesh,
+          in_specs=(dspecs, bspec(raw), bspec(batch)),
+          out_specs=(P(), aux_specs, dspecs, bspec(raw)),
+          check_vma=False)
+      loss, aux, dgrads, draw = fn(state.dense, raw, batch)
+    else:
+      (loss, aux), (dgrads, draw) = jax.value_and_grad(
+          loss_from, argnums=(0, 1), has_aux=True)(state.dense, raw,
+                                                   batch)
 
     # 3. Dense update (optax; GSPMD handles the allreduce).
     updates, dense_opt = dense_optimizer.update(dgrads, state.dense_opt,

@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from jax.sharding import PartitionSpec as P
+
 from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
 from hybridbackend_tpu.training.optimizer import sharding_aware_init
 
 
@@ -66,27 +69,127 @@ def replicate_over_mesh(tree, ctx: Optional[Context] = None):
   return jax.tree_util.tree_map(place, tree)
 
 
+def _grad_wire_dtype():
+  w = OPTIONS['comm_gradient_wire_dtype']
+  return None if w in ('float32', '', None) else jnp.dtype(w)
+
+
+def _leaf_spec(leaf, axes):
+  """PartitionSpec of a params leaf: its committed sharding spec when
+  mesh-sharded, replicated otherwise."""
+  sh = getattr(leaf, 'sharding', None)
+  if sh is not None and getattr(sh, 'spec', None) is not None:
+    if any(s is not None for s in tuple(sh.spec)):
+      return sh.spec
+  return P()
+
+
+def _batch_spec(leaf, axes):
+  nd = getattr(leaf, 'ndim', 0)
+  return P(axes, *([None] * (nd - 1))) if nd >= 1 else P()
+
+
+def make_wire_grad_fn(loss_fn: Callable, params_template, ctx: Context,
+                      wire) -> Callable:
+  """Gradient function whose cross-replica grad reduction rides the wire
+  in ``comm_gradient_wire_dtype`` (reference: gradient collectives are
+  cast on the wire generally, ``distribute/collective.py:291-296`` +
+  ``common/cast.cu.cc:37-488``).
+
+  GSPMD's implicit allreduce of replicated-param gradients always runs
+  at accumulator precision; this builds the data-parallel reduction
+  explicitly under ``shard_map`` so the summand can be cast: per-device
+  grads → cast(wire) → psum → cast back → /W. Row-sharded leaves (e.g.
+  embedding tables) keep their local gradients — never allreduced,
+  matching ``gradient.py:197-207``.
+
+  Contract (same as the Trainer's): the loss is a mean over the batch
+  rows it is given; scalar aux entries are pmean'd, array aux entries
+  have a leading batch axis.
+  """
+  axes = ctx.data_axes
+  world = ctx.world_size
+  pspecs = jax.tree_util.tree_map(lambda l: _leaf_spec(l, axes),
+                                  params_template)
+  if any(any(s is not None for s in tuple(spec))
+         for spec in jax.tree_util.tree_leaves(
+             pspecs, is_leaf=lambda x: isinstance(x, P))):
+    # A mesh-sharded leaf (e.g. a row-sharded table with dense grads)
+    # cannot run under the manual-SPMD body: the user's loss_fn indexes
+    # it as a GLOBAL array. Let GSPMD keep the whole step (its grad
+    # allreduce rides at f32). The hybrid path with compressed exchanges
+    # is SparseTrainer/make_sparse_train_step.
+    import logging
+    logging.getLogger('hybridbackend_tpu').warning(
+        'comm_gradient_wire_dtype: params contain mesh-sharded leaves; '
+        'dense-grad wire compression disabled for this step (use the '
+        'sparse-update path for sharded tables).')
+    return None
+
+  def grad_fn(params, batch):
+    bspecs = jax.tree_util.tree_map(lambda l: _batch_spec(l, axes), batch)
+
+    def body(params_l, batch_l):
+      (loss, aux), g = jax.value_and_grad(
+          loss_fn, has_aux=True)(params_l, batch_l)
+      g = jax.tree_util.tree_map(
+          lambda grad: jax.lax.psum(grad.astype(wire), axes)
+          .astype(grad.dtype) / world, g)
+      loss = jax.lax.pmean(loss, axes)
+      aux_out = jax.tree_util.tree_map(
+          lambda a: jax.lax.pmean(a, axes) if jnp.ndim(a) == 0 else a, aux)
+      return loss, aux_out, g
+
+    # Out-specs: loss replicated; aux per-leaf (scalar→replicated,
+    # array→batch-sharded); grads replicated (psum'd in-body).
+    def aux_spec(a):
+      return P() if jnp.ndim(a) == 0 else _batch_spec(a, axes)
+
+    shapes = jax.eval_shape(lambda p, b: loss_fn(p, b)[1], params, batch)
+    aux_specs = jax.tree_util.tree_map(aux_spec, shapes)
+    fn = jax.shard_map(
+        body, mesh=ctx.mesh,
+        in_specs=(pspecs, bspecs),
+        out_specs=(P(), aux_specs, pspecs),
+        check_vma=False)
+    return fn(params, batch)
+
+  return grad_fn
+
+
 def make_train_step(loss_fn: Callable[[Any, Dict[str, jax.Array]],
                                       Tuple[jax.Array, Dict[str, jax.Array]]],
                     optimizer: optax.GradientTransformation,
                     ctx: Optional[Context] = None,
-                    donate_state: bool = True) -> Callable:
+                    donate_state: bool = True,
+                    params_template: Any = None) -> Callable:
   """Build the jitted hybrid-parallel train step.
 
   Args:
     loss_fn: ``(params, batch) -> (scalar_loss, aux_metrics)``. The loss
       must be a mean over the **global** batch.
     optimizer: optax transformation (possibly from ``multi_optimizer``).
+    params_template: params pytree used to infer per-leaf shardings when
+      ``comm_gradient_wire_dtype`` is set (the wire-compressed gradient
+      reduction needs explicit specs; without a template the option is
+      ignored for the dense path).
 
   Returns:
     ``step(state, batch) -> (state, metrics)`` jitted over the context
     mesh with state donation.
   """
   ctx = ctx or Context.get()
+  wire = _grad_wire_dtype()
+  grad_fn = None
+  if wire is not None and ctx.world_size > 1 and params_template is not None:
+    grad_fn = make_wire_grad_fn(loss_fn, params_template, ctx, wire)
 
   def step(state: TrainState, batch):
-    (loss, aux), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params, batch)
+    if grad_fn is not None:
+      loss, aux, grads = grad_fn(state.params, batch)
+    else:
+      (loss, aux), grads = jax.value_and_grad(
+          loss_fn, has_aux=True)(state.params, batch)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
