@@ -124,27 +124,48 @@ class IdMapper:
     return out.reshape(shape)
 
   def state_dict(self) -> Dict[str, np.ndarray]:
-    """Serializable mapping state (checkpoint alongside the table)."""
+    """Serializable mapping state (checkpoint alongside the table).
+
+    Includes pending ``min_count`` admission counters (ids partway to
+    admission), so a resumed run admits ids at the same sighting as an
+    uninterrupted one (DeepRec's counter filter state persists with the
+    EV)."""
     if self._native is not None:
-      ids_a, rows_a = self._native.items()
-      order = np.argsort(ids_a)
-      return {'ids': ids_a[order].astype(np.int64),
-              'rows': rows_a[order].astype(np.int64),
+      ids_a, vals_a = self._native.items_all()
+      adm = vals_a >= 0
+      ids_adm, rows_adm = ids_a[adm], vals_a[adm]
+      ids_pen = ids_a[~adm]
+      counts_pen = (-1 - vals_a[~adm]).astype(np.int64)
+      order = np.argsort(ids_adm)
+      po = np.argsort(ids_pen)
+      return {'ids': ids_adm[order].astype(np.int64),
+              'rows': rows_adm[order].astype(np.int64),
+              'pending_ids': ids_pen[po].astype(np.int64),
+              'pending_counts': counts_pen[po],
               'next': np.asarray([self._next], np.int64)}
     items = np.asarray(sorted(self._map.items()), np.int64).reshape(-1, 2)
+    pend = np.asarray(sorted(self._counts.items()), np.int64).reshape(-1, 2)
     return {'ids': items[:, 0], 'rows': items[:, 1],
+            'pending_ids': pend[:, 0], 'pending_counts': pend[:, 1],
             'next': np.asarray([self._next], np.int64)}
 
   @classmethod
   def from_state_dict(cls, capacity: int, state: Dict[str, np.ndarray],
                       min_count: int = 1) -> 'IdMapper':
     m = cls(capacity, min_count)
+    pend_ids = np.asarray(state.get('pending_ids', ()), np.int64)
+    pend_counts = np.asarray(state.get('pending_counts', ()), np.int64)
     if m._native is not None:
       m._native.set(np.asarray(state['ids'], np.int64),
                     np.asarray(state['rows'], np.int32))
+      if pend_ids.size:
+        # Native encoding: pending count c -> raw val -1-c.
+        m._native.set(pend_ids, (-1 - pend_counts).astype(np.int32))
     else:
       m._map = {int(i): int(r)
                 for i, r in zip(state['ids'], state['rows'])}
+      m._counts.update({int(i): int(c)
+                        for i, c in zip(pend_ids, pend_counts)})
     m._next = int(state['next'][0])
     return m
 

@@ -352,10 +352,54 @@ class CacheRunner:
 
   def eval_transform(self, batch):
     """Read-only slot mapping for eval/predict: misses → -1 (cold ids
-    read as zeros by the lookup out-of-range contract)."""
+    read as zeros by the lookup out-of-range contract).
+
+    Mid-train (prefetch depth ≥ 1) the live id→slot map already includes
+    QUEUED plans whose uploads have not been applied to the arrays yet —
+    resolving against it would read slots still holding the evicted
+    previous owner's rows. Slots are therefore resolved against the
+    metadata state REWOUND past every pending plan (the same undo-replay
+    as :meth:`checkpoint_flush`): an id whose slot assignment is still
+    pending reads as a miss (-1), and an id whose eviction is still
+    pending reads its ORIGINAL slot (whose row it still owns)."""
     batch = dict(batch)
-    for col, cache in self._caches.items():
-      batch[col] = cache.lookup_slots(np.asarray(batch[col]))
+    with self._runner_lock:
+      pending = list(self._plans)
+      for col, cache in self._caches.items():
+        ids = np.asarray(batch[col])
+        live = cache.lookup_slots(ids)
+        if not pending:
+          batch[col] = live
+          continue
+        # Slots (re)assigned by pending uploads: arrays not updated yet.
+        planned = set()
+        # First pending eviction per slot names the TRUE current owner.
+        restore: Dict[int, int] = {}
+        seen_slots = set()
+        for plans in pending:
+          plan = plans.get(col)
+          if plan is None:
+            continue
+          for s, i in zip(plan.evict_slots.tolist(),
+                          plan.evict_ids.tolist()):
+            if s not in seen_slots:
+              seen_slots.add(s)
+              restore[int(i)] = int(s)
+          planned.update(plan.miss_slots.tolist())
+        shape = ids.shape
+        flat = ids.reshape(-1).astype(np.int64)
+        out = live.reshape(-1).astype(np.int32).copy()
+        if planned:
+          out[np.isin(out, np.fromiter(planned, np.int32))] = -1
+        if restore:
+          rids = np.fromiter(restore.keys(), np.int64)
+          rslots = np.fromiter(restore.values(), np.int32)
+          order = np.argsort(rids)
+          rids, rslots = rids[order], rslots[order]
+          pos = np.clip(np.searchsorted(rids, flat), 0, len(rids) - 1)
+          hit = rids[pos] == flat
+          out[hit] = rslots[pos[hit]]
+        batch[col] = out.reshape(shape)
     return batch
 
   @staticmethod

@@ -68,6 +68,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.hb_idmap_items.restype = ctypes.c_int64
     lib.hb_idmap_items.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.hb_idmap_items_all.restype = ctypes.c_int64
+    lib.hb_idmap_items_all.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _LIB = lib
   except (OSError, subprocess.CalledProcessError) as e:
     LOG.warning('native module unavailable, using NumPy fallbacks: %s', e)
@@ -226,6 +229,15 @@ class NativeIdMap:
     rows = np.empty((n,), np.int32)
     cnt = int(self._lib.hb_idmap_items(self._h, _ptr(ids), _ptr(rows)))
     return ids[:cnt], rows[:cnt]
+
+  def items_all(self):
+    """Every live (id, raw value) pair, unordered: admitted rows >= 0,
+    pending min_count admission encoded as ``val = -1 - count``."""
+    n = len(self)
+    ids = np.empty((n,), np.int64)
+    vals = np.empty((n,), np.int32)
+    cnt = int(self._lib.hb_idmap_items_all(self._h, _ptr(ids), _ptr(vals)))
+    return ids[:cnt], vals[:cnt]
 
 
 def native_idmap(capacity_hint: int = 1024):

@@ -308,6 +308,32 @@ int64_t hb_idmap_items(void* h, int64_t* ids_out, int32_t* rows_out) {
   return j;
 }
 
+// Dump EVERY live entry with its RAW value: admitted rows >= 0, pending
+// min_count admission progress encoded as val = -1 - count (see
+// hb_idmap_train_lookup). Checkpoints serialize this so partially
+// admitted ids resume their counters instead of restarting from zero.
+// Buffers must hold hb_idmap_size entries; returns the count written.
+int64_t hb_idmap_items_all(void* h, int64_t* ids_out, int32_t* vals_out) {
+  const IdMap* m = static_cast<IdMap*>(h);
+  int64_t j = 0;
+  const int64_t specials[2] = {IdMap::kEmpty, IdMap::kTomb};
+  for (int si = 0; si < 2; ++si) {
+    if (m->special_live[si]) {
+      ids_out[j] = specials[si];
+      vals_out[j] = m->special_vals[si];
+      ++j;
+    }
+  }
+  for (size_t i = 0; i < m->keys.size(); ++i) {
+    int64_t k = m->keys[i];
+    if (k == IdMap::kEmpty || k == IdMap::kTomb) continue;
+    ids_out[j] = k;
+    vals_out[j] = m->vals[i];
+    ++j;
+  }
+  return j;
+}
+
 // Ragged -> padded-dense + mask. values has `inner` contiguous elements
 // per logical item (inner = product of trailing dense dims).
 // out: [n, max_len, inner] pre-filled with pad; mask: [n, max_len] u8.
