@@ -71,7 +71,9 @@ def main():
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)
     env['JAX_PLATFORMS'] = 'cpu'
-    env['HB_RUN_FAULT_TIMEOUT'] = '180'
+    # Generous on loaded 1-core boxes: compiles under contention are
+    # slow; the dump distinguishes a true wedge from slow progress.
+    env['HB_RUN_FAULT_TIMEOUT'] = '420'
     cmd = [sys.executable, '-m', 'hybridbackend_tpu.run',
            '--simulate', '2', '--devices-per-process', '2', child]
     times = []
@@ -79,7 +81,7 @@ def main():
       t0 = time.time()
       try:
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                             timeout=240, cwd=repo)
+                             timeout=480, cwd=repo)
       except subprocess.TimeoutExpired as e:
         print(f'ITER {i}: TIMEOUT (launcher-level)')
         print('stdout:', (e.stdout or b'')[-4000:])

@@ -10,13 +10,16 @@ strategies are provided (option ``emb_lookup_strategy``):
 
 * ``allgather`` (default) — all-gather the (small, int32) ids across the
   mesh, gather owned rows locally with masking, and return results via
-  ``reduce_scatter``. The sum happens *in the interconnect*, bytes moved
-  equal the alltoallv protocol's, and every shape is static — this is the
-  shape XLA's own sharded-gather lowering takes, made explicit.
+  ``reduce_scatter``. Every shape is static and the schedule is simple —
+  but the wire cost is ``~(W-1)/W · B·D`` per device each way (HLO-
+  counted: ``utils/hlo_bytes.py``), i.e. proportional to the GLOBAL
+  batch. Best at small world sizes or tiny dims.
 * ``alltoall`` — the literal PICASSO protocol: bucketed partition by
   owner shard → all_to_all ids (+sizes) → local gather → all_to_all
-  embeddings back → unbucket. Wins when the id buckets are tight
-  (capacity < batch) so payloads shrink below the allgather volume.
+  embeddings back → unbucket. With ``emb_lookup_bucket_ratio`` r the
+  payload is ``~r·(B/W)·D`` per device — a ``W/r`` wire win over
+  allgather (the reference alltoallv's point); bucket overflow falls
+  back to the exact full-capacity exchange.
 * ``gspmd`` — plain ``jnp.take`` on the row-sharded global array; XLA's
   SPMD partitioner picks the exchange. Zero framework code in the hot
   path; useful as a baseline and for odd meshes.
@@ -105,7 +108,13 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
 
   rows = config.row_index(ids, ctx)
   if not config.should_shard(ctx):
-    return jnp.take(table, rows, axis=0)
+    # Replicated path honors the same contract as every sharded
+    # strategy: out-of-range/negative ids (padding lanes, unadmitted
+    # dynamic ids) read as zeros — plain jnp.take would wrap -1 to the
+    # LAST row numpy-style.
+    out = jnp.take(table, rows, axis=0, mode='fill', fill_value=0)
+    valid = (rows >= 0) & (rows < config.vocab_size)
+    return jnp.where(valid[..., None], out, 0)
 
   # Per-table strategy via the '*'-wildcard dict scope (the reference's
   # DictOption, options.py:183-225):

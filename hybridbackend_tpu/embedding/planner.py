@@ -11,21 +11,32 @@ through the per-table DictOption scopes
 
 Model (per table, per step, float32 elements; ``W`` world size, ``B``
 global flat ids per step, ``D`` dim, ``V`` vocab, ``u`` expected unique
-fraction of ``B``):
+fraction of ``B``, ring factor ``f = (W-1)/W``, bucket slack ``s`` =
+``emb_lookup_bucket_ratio``/``emb_update_bucket_ratio``). Byte formulas
+are CALIBRATED against compiled-HLO collective counts
+(:mod:`hybridbackend_tpu.utils.hlo_bytes`;
+``tests/test_planner_calibration.py`` enforces agreement within a small
+factor):
 
 * replicated — HBM ``V*D*4`` on EVERY device; forward free; backward
-  all-gathers the global (rows, grads) payload: ``~B*(D+1)*4`` per
+  all-gathers the global (rows, grads) payload: ``~f*B*(D+1)*4`` per
   device.
-* row-sharded, allgather exchange — HBM ``V*D*4/W``; forward moves ids
-  ``B*4`` + a reduce-scattered embedding payload ``~B*D*4``; backward
-  (alltoall gradient return) ``~2*s*B/W*(D+1)*4`` with bucket slack
-  ``s``.
-* row-sharded, alltoall exchange — forward ``~2*s*u*B/W*(D+1)*4``
-  (bucketed ids out, embeddings back): wins over allgather when the
-  deduplicated payload is small (hot/skewed id distributions).
-* column-sharded — HBM ``V*D*4/W``; forward ``B*4`` ids +
-  ``B*D*4*(W-1)/W`` embedding alltoall; sensible for very large ``D``
+* row-sharded, allgather exchange — HBM ``V*D*4/W``; forward
+  all-gathers ids ``f*B*4`` and returns embeddings via reduce-scatter
+  ``f*B*D*4``; backward all-gathers the cotangent ``f*B*D*4``; plus the
+  bucketed alltoall update exchange ``2*f*s*u*B/W*(D+1)*4``. Linear in
+  the GLOBAL batch — W-independent per device.
+* row-sharded, alltoall exchange — bucketed both ways:
+  ``2*f*s*u*(B/W)*(D+1)*4`` forward + the same backward — a ~``W/(2su)``
+  wire win over allgather (the reference alltoallv's whole point,
+  ``nccl_alltoallv.cc:200-350``).
+* column-sharded — HBM ``V*D*4/W``; forward ``f*B*4`` ids +
+  ``f*B*D*4`` embedding alltoall; sensible for very large ``D``
   where per-row slices still fill lanes.
+
+The latency floor ``HOP`` cannot be calibrated on a CPU mesh: it is
+derived from TPU ICI characteristics (~1 us/hop at ~45 GB/s per link
+≈ 45 KB of bytes-equivalent per collective).
 
 The plan is a *starting point* measured in bytes — profile and override
 (every knob remains a scoped option).
@@ -49,25 +60,39 @@ class TablePlan:
   comm_bytes_per_step: int
 
 
-def _cost_replicated(v, d, b):
-  return v * d * 4, int(b * (d + 1) * 4)
+def _ring(w):
+  return (w - 1) / max(w, 1)
 
 
-def _cost_row_allgather(v, d, b, w, slack):
-  fwd = b * 4 + b * d * 4
-  bwd = 2 * slack * (b // max(w, 1)) * (d + 1) * 4
-  return v * d * 4 // w, int(fwd + bwd)
+def _cost_replicated(v, d, b, w=1):
+  # Backward is whichever collective the runtime would pick: the sparse
+  # (rows, grads) all-gather scales with the batch, the dense [V, D]
+  # gradient all-reduce with the table — a genuinely tiny table rides
+  # the dense path for near-zero cost regardless of batch.
+  f = _ring(w)
+  sparse_bwd = f * b * (d + 1) * 4
+  dense_bwd = 2 * f * v * d * 4
+  return v * d * 4, int(min(sparse_bwd, dense_bwd))
+
+
+def _cost_row_allgather(v, d, b, w, u, slack):
+  f = _ring(w)
+  fwd = f * (b * 4 + b * d * 4)        # ids all-gather + reduce-scatter
+  bwd = f * b * d * 4                  # cotangent all-gather
+  upd = 2 * f * slack * u * (b / max(w, 1)) * (d + 1) * 4
+  return v * d * 4 // w, int(fwd + bwd + upd)
 
 
 def _cost_row_alltoall(v, d, b, w, u, slack):
-  per_dev = max(1, int(u * b) // max(w, 1))
-  fwd = 2 * slack * per_dev * (d + 1) * 4
-  bwd = 2 * slack * per_dev * (d + 1) * 4
-  return v * d * 4 // w, int(fwd + bwd)
+  f = _ring(w)
+  # One exchange = ids out + payload back = (D+1) elements per row.
+  per_xchg = f * slack * max(1.0, u * b / max(w, 1)) * (d + 1) * 4
+  return v * d * 4 // w, int(2 * per_xchg)  # forward + gradient
 
 
 def _cost_column(v, d, b, w):
-  fwd = b * 4 + b * d * 4 * (w - 1) // max(w, 1)
+  f = _ring(w)
+  fwd = f * (b * 4 + b * d * 4)
   return v * d * 4 // w, int(2 * fwd)
 
 
@@ -106,9 +131,10 @@ def plan_sharding(configs: Sequence,
   plans: Dict[str, TablePlan] = {}
   replicated_budget = hbm_budget_bytes
   # Each collective hop pays a latency floor independent of payload —
-  # modeled as bytes-equivalent. Replication's local gather has one
-  # backward collective; the exchanges pay 3-6 hops.
-  HOP = 32 * 1024
+  # modeled as bytes-equivalent: ~1 us of ICI hop latency at ~45 GB/s
+  # per v5e link ≈ 45 KB. Replication's local gather has one backward
+  # collective; the exchanges pay 3-6 hops.
+  HOP = 45 * 1024
   # A byte HELD costs a small fraction of a byte MOVED per step:
   # keeps replication from winning on comm alone for giant tables even
   # without an explicit budget.
@@ -125,16 +151,17 @@ def plan_sharding(configs: Sequence,
                                   v * d * 4, 0)
       continue
     candidates = {}
-    mem, comm = _cost_replicated(v, d, b)
+    mem, comm = _cost_replicated(v, d, b, w)
     over_budget = (replicated_budget is not None
                    and mem > replicated_budget)
     if not over_budget:
       candidates[('replicated', 'row', 'allgather')] = (
           mem, comm + 1 * HOP)
-    mem, comm = _cost_row_allgather(v, d, b, w, bucket_slack)
+    mem, comm = _cost_row_allgather(v, d, b, w, u, bucket_slack)
     candidates[('sharded', 'row', 'allgather')] = (mem, comm + 4 * HOP)
+    # alltoallv = sizes + ids + sizes + payload each way ≈ 8 launches.
     mem, comm = _cost_row_alltoall(v, d, b, w, u, bucket_slack)
-    candidates[('sharded', 'row', 'alltoall')] = (mem, comm + 6 * HOP)
+    candidates[('sharded', 'row', 'alltoall')] = (mem, comm + 8 * HOP)
     if d >= column_min_dim:
       mem, comm = _cost_column(v, d, b, w)
       candidates[('sharded', 'column', 'allgather')] = (

@@ -126,6 +126,27 @@ def create_stacked_tables(stacks: Sequence[TableStack], rng: jax.Array,
   return out
 
 
+def member_tables(stack: TableStack, stacked: jax.Array,
+                  ctx: Optional[Context] = None) -> Dict[str, 'jax.Array']:
+  """Split a trained stacked physical table back into per-member tables
+  (host arrays): ``{member_name: [member_rows, D]}``.
+
+  Inverse of the stacking layout (member ids are offset-shifted, not
+  re-mixed, so member row ``i`` lives at stacked row ``offset + i``).
+  Used by serving export to reconstruct standalone tables from the
+  checkpointed stacked arrays (reference ``export_all`` rebuilds the
+  serving graph from checkpoint, ``saved_model.py:54-192``)."""
+  import numpy as np
+  ctx = ctx or Context.get()
+  vocab = stack.stacked.padded_vocab(ctx)
+  host = np.asarray(stacked)
+  bounds = list(stack.offsets[1:]) + [vocab]
+  out = {}
+  for i, cfg in enumerate(stack.configs):
+    out[cfg.name] = host[stack.offsets[i]:bounds[i]]
+  return out
+
+
 def stacked_lookup(stack: TableStack, table: jax.Array,
                    ids_by_name: Dict[str, jax.Array],
                    ctx: Optional[Context] = None,

@@ -340,13 +340,16 @@ class Trainer:
 
   # -- export ------------------------------------------------------------
 
-  def export_saved_model(self, path: str, example_batch) -> str:
+  def export_saved_model(self, path: str, example_batch,
+                         id_mappers=None) -> str:
     """Serialize the serving function (reference ``saved_model.py:54-192``;
-    chief-only, like rank0-only export there)."""
+    chief-only, like rank0-only export there). ``id_mappers``
+    ({column: IdMapper}) bundles dynamic-table id resolution for
+    cold-process serving."""
     from hybridbackend_tpu.training.saved_model import export
     if self._ctx.is_chief:
       export(lambda p, b: self._loss_fn(p, b)[1]['preds'],
-             self.params, example_batch, path)
+             self.params, example_batch, path, id_mappers=id_mappers)
     return path
 
 
@@ -394,6 +397,9 @@ class SparseTrainer(Trainer):
     self._fx = fx
     self._label_key = label_key
     self._group_key = group_key
+    self._model_loss = model_loss
+    self._raw_model_loss = raw_model_loss
+    self._caches = dict(caches) if caches else {}
     if caches:
       from hybridbackend_tpu.embedding.service import CacheRunner
       nslots = 2 if table_optimizer == 'adam' else 1
@@ -452,6 +458,82 @@ class SparseTrainer(Trainer):
   @property
   def params(self):
     return (self.state.dense, self.state.tables)
+
+  def export_saved_model(self, path: str, example_batch,
+                         id_mappers=None) -> str:
+    """Export a STANDALONE serving bundle (reference ``export_all``
+    semantics, ``saved_model.py:54-192``): the serving graph is rebuilt
+    per-member from the trained state — stacked physical tables are
+    split back into member tables, and cache-backed columns serve from
+    their FULL host tables (cache flushed to storage first), so a cold
+    process reproduces training-time predictions without the cache or
+    the trainer. Ragged (padded ids + ``col_mask``) inputs export
+    per the signature's padded+mask contract; pass ``id_mappers``
+    ({column: IdMapper}) to bundle dynamic-table id resolution.
+
+    ``example_batch`` must carry every column the loss function reads
+    (including a dummy label column). Chief-only, like rank0-only
+    export in the reference."""
+    if not self._ctx.is_chief:
+      return path
+    import dataclasses as _dc
+    from hybridbackend_tpu.embedding.stack import member_tables
+    from hybridbackend_tpu.models.feature import EmbeddingSpec
+    from hybridbackend_tpu.training.saved_model import export
+
+    if self._cache_runner is not None:
+      # Make storage authoritative without consuming pending plans.
+      self._cache_runner.checkpoint_flush(self.state)
+
+    extracted: Dict[str, Dict[str, Any]] = {}
+    serving_tables: Dict[str, Any] = {}
+    serving_specs = []
+    for spec in self._fx.specs:
+      name = spec.config.name
+      if spec.key in self._caches:
+        cache = self._caches[spec.key]
+        vocab = cache.config.vocab_size
+        full = np.asarray(
+            cache.storage.pull('value', np.arange(vocab, dtype=np.int64)))
+        cfg = _dc.replace(cache.config, sharded=False, shuffle_ids=False)
+        serving_tables[name] = full
+        serving_specs.append(EmbeddingSpec(cfg, column=spec.key))
+        continue
+      stack = self._fx._stack_of[name]
+      sname = stack.stacked.name
+      if sname not in extracted:
+        extracted[sname] = member_tables(
+            stack, self.state.tables[sname], self._ctx)
+      serving_tables[name] = extracted[sname][name]
+      # Stacked lookups address members at offset+raw_id (member
+      # shuffle_ids is not applied inside a stack), so the extracted
+      # contiguous slice serves with identity row mapping.
+      cfg = _dc.replace(spec.config, sharded=False, shuffle_ids=False)
+      serving_specs.append(EmbeddingSpec(cfg, column=spec.column))
+
+    raw_loss = self._raw_model_loss
+    model_loss = self._model_loss
+    dense_cols = list(self._fx.dense_columns)
+
+    def serving_fn(params, batch):
+      dense, tables = params
+      if raw_loss is not None:
+        from hybridbackend_tpu.embedding.lookup import lookup
+        members = {
+            s.config.name: lookup(tables[s.config.name],
+                                  jnp.asarray(batch[s.key]), s.config)
+            for s in serving_specs}
+        _, aux = raw_loss(dense, members, batch)
+      else:
+        from hybridbackend_tpu.models.feature import extract_features
+        emb_f, dense_f = extract_features(tables, batch, serving_specs,
+                                          dense_cols)
+        _, aux = model_loss(dense, emb_f, dense_f, batch)
+      return aux['preds']
+
+    host_dense = jax.tree_util.tree_map(np.asarray, self.state.dense)
+    return export(serving_fn, (host_dense, serving_tables),
+                  example_batch, path, id_mappers=id_mappers)
 
 
 __all__ = ['Trainer', 'SparseTrainer']

@@ -19,11 +19,23 @@ import numpy as np
 
 
 def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
-           params: Any, example_batch: Dict[str, Any], path: str) -> str:
+           params: Any, example_batch: Dict[str, Any], path: str,
+           id_mappers: Dict[str, Any] = None) -> str:
   """Serialize ``serving_fn(params, batch)`` + params under ``path``.
 
   Layout: ``<path>/serving_fn.bin`` (StableHLO via jax.export),
-  ``<path>/params/`` (orbax), ``<path>/signature.json``.
+  ``<path>/params/`` (orbax), ``<path>/signature.json``, and — when
+  ``id_mappers`` maps batch columns to
+  :class:`~hybridbackend_tpu.embedding.dynamic.IdMapper` instances —
+  ``<path>/id_mappers.npz`` with each mapper's full state, so a cold
+  serving process resolves raw (unbounded) ids exactly as training did
+  (reference: ``export_all`` bundles everything needed to serve from
+  checkpoint, ``saved_model.py:54-192``).
+
+  The exported signature treats every input as a dense array; ragged
+  (sequence) features follow the padded+mask contract — a ``col`` of
+  padded ids plus ``col_mask`` validity — and are recorded as such in
+  ``signature.json``.
   """
   from jax import export as jax_export
   import orbax.checkpoint as ocp
@@ -56,10 +68,28 @@ def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
              leaves)
   ckptr.wait_until_finished()
 
+  if id_mappers:
+    blobs = {}
+    meta = {}
+    for col, mapper in id_mappers.items():
+      state = mapper.state_dict()
+      for k, v in state.items():
+        blobs[f'{col}/{k}'] = np.asarray(v)
+      meta[col] = {'capacity': mapper.capacity,
+                   'min_count': mapper.min_count}
+    np.savez(os.path.join(path, 'id_mappers.npz'), **blobs)
+    with open(os.path.join(path, 'id_mappers.json'), 'w') as f:
+      json.dump(meta, f)
+
+  keys = set(example_batch)
   signature = {
       'inputs': {k: {'shape': list(np.asarray(v).shape),
                      'dtype': str(np.asarray(v).dtype)}
                  for k, v in example_batch.items()},
+      # Padded+mask sequence contract (reference ragged serving inputs).
+      'ragged': sorted(k for k in keys
+                       if not k.endswith('_mask') and f'{k}_mask' in keys),
+      'id_mapped': sorted(id_mappers) if id_mappers else [],
   }
   with open(os.path.join(path, 'signature.json'), 'w') as f:
     json.dump(signature, f, indent=2)
@@ -80,4 +110,40 @@ def load(path: str):
   return exported.call, params
 
 
-__all__ = ['export', 'load']
+class Served:
+  """A loaded export, ready to serve raw feature batches.
+
+  Wraps the exported StableHLO function with the host-side input
+  resolution the training pipeline performed: bundled ``IdMapper``
+  states translate raw (unbounded) ids to table rows before the jitted
+  call — the serving analogue of ``DynamicEmbedding.transform``.
+  """
+
+  def __init__(self, path: str):
+    from hybridbackend_tpu.embedding.dynamic import IdMapper
+    self._call, self._params = load(path)
+    with open(os.path.join(path, 'signature.json')) as f:
+      self.signature = json.load(f)
+    self._mappers = {}
+    meta_p = os.path.join(path, 'id_mappers.json')
+    if os.path.exists(meta_p):
+      with open(meta_p) as f:
+        meta = json.load(f)
+      blobs = np.load(os.path.join(path, 'id_mappers.npz'))
+      for col, m in meta.items():
+        state = {k.split('/', 1)[1]: blobs[k] for k in blobs.files
+                 if k.startswith(col + '/')}
+        self._mappers[col] = IdMapper.from_state_dict(
+            m['capacity'], state, min_count=m['min_count'])
+
+  def predict(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+    batch = dict(batch)
+    for col, mapper in self._mappers.items():
+      batch[col] = mapper.map_ids(np.asarray(batch[col]), train=False)
+    sig = self.signature['inputs']
+    got = {k: np.asarray(v).astype(sig[k]['dtype'])
+           for k, v in batch.items() if k in sig}
+    return np.asarray(self._call(self._params, got))
+
+
+__all__ = ['export', 'load', 'Served']
