@@ -80,14 +80,10 @@ def warm_page_cache(path: str) -> None:
       pass
 
 
-def main():
-  path = ensure_file()
+def measure(path, threads, passes=5):
   from hybridbackend_tpu.data import ParquetDataset
-
-  threads = min(os.cpu_count() or 1, 20)
   ds = ParquetDataset(path, batch_size=BATCH, drop_remainder=True,
                       num_parallel_reads=threads)
-  warm_page_cache(path)
 
   def one_pass() -> float:
     it = iter(ds)
@@ -98,10 +94,29 @@ def main():
       count += 1
     return 1000.0 * (time.time() - start) / max(count, 1)
 
+  return sorted(one_pass() for _ in range(passes))
+
+
+def main():
+  path = ensure_file()
+  threads = int(os.environ.get('HB_BENCH_THREADS', 0)) or min(
+      os.cpu_count() or 1, 20)
+  warm_page_cache(path)
+
+  if '--scaling' in sys.argv:
+    # Decode-thread scaling table (reference protocol docs/data.md:283).
+    for t in (1, 2, 4, 8, 16, 20):
+      if t > (os.cpu_count() or 1):
+        break
+      p = measure(path, t, passes=3)
+      print(json.dumps({'threads': t, 'median_ms': round(p[len(p) // 2], 2),
+                        'spread_ms': [round(x, 2) for x in p]}))
+    return
+
   # Median of 5 passes with the spread reported (VERDICT weak #8:
   # report the distribution, not the best — noisy-neighbor inflation on
   # shared hosts shows up in the spread instead of being hidden).
-  passes = sorted(one_pass() for _ in range(5))
+  passes = measure(path, threads)
   ms_per_step = passes[len(passes) // 2]
 
   ref = REF_MS_20T if threads >= 20 else REF_MS_1T
@@ -111,6 +126,8 @@ def main():
       'unit': 'ms/step',
       'vs_baseline': round(ref / ms_per_step, 2),
       'spread_ms': [round(p, 2) for p in passes],
+      'threads': threads,
+      'host_cpus': os.cpu_count(),
   }))
 
 

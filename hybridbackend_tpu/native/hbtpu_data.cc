@@ -693,7 +693,12 @@ class Reader {
                            : batch_size),
         format_(format), mmap_(mmap) {
     threads = std::max(1, threads);
-    window_ = std::max(prefetch, 2 * threads);
+    // Decode-ahead window: the consumer takes chunks in STRICT order
+    // (deterministic batches), so one transiently-descheduled worker
+    // stalls emission head-of-line. 3x threads of ready+in-flight
+    // chunks absorbs scheduler outliers (measured 43% inter-pass
+    // spread on a shared host with 2x); prefetch raises the floor.
+    window_ = std::max(prefetch, 3 * threads);
     int n = static_cast<int>(std::min<size_t>(threads, tasks_.size()));
     for (int i = 0; i < std::max(n, 1); ++i) {
       workers_.emplace_back([this] { WorkerLoop(); });

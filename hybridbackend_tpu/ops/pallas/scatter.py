@@ -208,6 +208,43 @@ def _touched_meta(sorted_ids: jax.Array, starts: jax.Array, vocab: int,
   return jnp.stack([blist, bstart, bend]), (count > g_max) | (count == 0)
 
 
+def _pack_factor(v: int, d: int) -> int:
+  """Lane-packing factor ``p``: view a narrow ``[V, d]`` table as
+  ``[V/p, p·d = 128]``.
+
+  A d<128 f32 array occupies full 128-lane VMEM tiles anyway, so
+  narrow-dim blocks waste ``128/d`` of every DMA, VMEM buffer, and grid
+  iteration. Measured on one v5e chip (benchmarks/stream_roofline.py):
+  a [2.6M, 16] pure table stream runs at 57 GB/s (4.6 us/block — fixed
+  ~3.4 us/iteration overhead dominates), while the SAME bytes as
+  [327k, 128] stream at 169 GB/s with 8x fewer iterations. Packing is
+  exact for add/adagrad: logical rows sharing a packed row live in
+  disjoint lane slices, and duplicates of one logical row sum in the
+  one-hot matmul exactly as unpacked."""
+  if d >= 128 or 128 % d != 0:
+    return 1
+  p = 128 // d
+  return p if v % p == 0 else 1
+
+
+def _pack_updates(rows: jax.Array, updates: jax.Array, p: int
+                  ) -> Tuple[jax.Array, jax.Array]:
+  """Map sorted (rows, updates[N, d]) into the packed space: packed row
+  ``r // p`` and the update placed in lane slice ``(r % p)·d``. Invalid
+  rows (-1) stay invalid; OOB sentinels stay OOB."""
+  n, d = updates.shape
+  prow = jnp.where(rows >= 0, rows // p, rows)
+  lane = jnp.where(rows >= 0, (rows % p).astype(jnp.int32), 0)
+  oh = (lane[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :]
+        ).astype(updates.dtype)
+  upd = (oh[:, :, None] * updates[:, None, :]).reshape(n, p * d)
+  return prow, upd
+
+
+def _pack_ids(ids: jax.Array, p: int) -> jax.Array:
+  return jnp.where(ids >= 0, ids // p, ids)
+
+
 def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK
                 ) -> Tuple[jax.Array, jax.Array]:
   """Pad the update list with OOB sentinel rows to a chunk multiple,
@@ -253,7 +290,7 @@ def sorted_segment_totals(ids: jax.Array, g: jax.Array
 
 @functools.partial(jax.jit, static_argnames=('block_rows', 'chunk',
                                              'precision', 'interpret',
-                                             'touched_blocks'))
+                                             'touched_blocks', 'pack'))
 def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                        updates: jax.Array,
                        block_ids: Optional[jax.Array] = None,
@@ -261,7 +298,8 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                        chunk: int = _CHUNK,
                        precision: str = 'highest',
                        interpret: bool = False,
-                       touched_blocks: int = 0) -> jax.Array:
+                       touched_blocks: int = 0,
+                       pack: bool = True) -> jax.Array:
   """``table.at[rows].add(updates)`` for SORTED rows, as a table stream.
 
   rows: int32 [N] ascending; -1 or >= vocab entries are ignored.
@@ -273,10 +311,22 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
     the rest are never DMA'd. Wins when updates << vocab (huge tables,
     modest batches). More distinct touched blocks than the cap falls
     back to the full stream via ``lax.cond`` — never drops updates.
+  pack: lane-pack narrow tables ([V, d<128] → [V/p, 128], exact; see
+    :func:`_pack_factor`) — measured 3-4x on the full stream.
   """
   v, d = table.shape
   if block_ids is None:
     block_ids = rows
+  if pack:
+    p = _pack_factor(v, d)
+    if p > 1:
+      prow, pupd = _pack_updates(rows, updates.astype(table.dtype), p)
+      out = scatter_add_sorted(
+          table.reshape(v // p, p * d), prow, pupd,
+          block_ids=_pack_ids(block_ids, p), block_rows=block_rows,
+          chunk=chunk, precision=precision, interpret=interpret,
+          touched_blocks=touched_blocks, pack=False)
+      return out.reshape(v, d)
   block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
                              jnp.zeros((block_ids.shape[0], 1)), chunk)
   rows, updates = pad_updates(rows.astype(jnp.int32),
@@ -330,7 +380,7 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
 @functools.partial(jax.jit, static_argnames=('eps', 'block_rows',
                                              'chunk', 'precision',
                                              'interpret',
-                                             'touched_blocks'))
+                                             'touched_blocks', 'pack'))
 def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           rows: jax.Array, updates: jax.Array,
                           lr, eps: float = 1e-7,
@@ -339,7 +389,8 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           chunk: int = _CHUNK,
                           precision: str = 'highest',
                           interpret: bool = False,
-                          touched_blocks: int = 0
+                          touched_blocks: int = 0,
+                          pack: bool = True
                           ) -> Tuple[jax.Array, jax.Array]:
   """Fused sparse Adagrad: one table stream updates accumulator AND
   table (``acc[r] += g²; table[r] -= lr·g/sqrt(acc[r]+eps)``), rows
@@ -348,10 +399,23 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
   pre-deduplication needed. Returns (table, acc).
 
   ``touched_blocks > 0`` enables the sparse grid (see
-  :func:`scatter_add_sorted`)."""
+  :func:`scatter_add_sorted`); ``pack`` lane-packs narrow tables (the
+  adagrad math is lanewise-elementwise, so packing is exact: per-row
+  gradient totals occupy disjoint lane slices before squaring)."""
   v, d = table.shape
   if block_ids is None:
     block_ids = rows
+  if pack:
+    p = _pack_factor(v, d)
+    if p > 1:
+      prow, pupd = _pack_updates(rows, updates.astype(table.dtype), p)
+      t2, a2 = adagrad_update_sorted(
+          table.reshape(v // p, p * d), acc.reshape(v // p, p * d),
+          prow, pupd, lr, eps=eps, block_ids=_pack_ids(block_ids, p),
+          block_rows=block_rows, chunk=chunk, precision=precision,
+          interpret=interpret, touched_blocks=touched_blocks,
+          pack=False)
+      return t2.reshape(v, d), a2.reshape(v, d)
   block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
                              jnp.zeros((block_ids.shape[0], 1)), chunk)
   rows, updates = pad_updates(rows.astype(jnp.int32),
