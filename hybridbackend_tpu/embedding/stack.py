@@ -95,7 +95,11 @@ def build_stacks(configs: Sequence[TableConfig],
         vocab_size=total, dim=members[0].dim, dtype=members[0].dtype,
         sharded=bool(members[0].should_shard(ctx)),
         combiner=members[0].combiner,
-        partition=members[0].partition)
+        partition=members[0].partition,
+        # Solo stacks keep the member's hot-id spreading (the mix is
+        # what keeps skewed vocabularies' exchange buckets uniform);
+        # multi-member stacks never mix (offset layout must hold).
+        shuffle_ids=(len(members) == 1 and members[0].shuffle_ids))
     stacks.append(TableStack(tuple(members), tuple(offsets), stacked_cfg))
   return stacks
 
@@ -140,6 +144,14 @@ def member_tables(stack: TableStack, stacked: jax.Array,
   ctx = ctx or Context.get()
   vocab = stack.stacked.padded_vocab(ctx)
   host = np.asarray(stacked)
+  if stack.stacked.shuffle_ids:
+    # Solo shuffled stack: logical row r lives at mix(r) — invert by
+    # gathering the mixed positions back into logical order.
+    cfg = stack.configs[0]
+    import jax.numpy as jnp
+    rows = np.asarray(stack.stacked.row_index(
+        jnp.arange(cfg.vocab_size), ctx))
+    return {cfg.name: host[rows]}
   bounds = list(stack.offsets[1:]) + [vocab]
   out = {}
   for i, cfg in enumerate(stack.configs):

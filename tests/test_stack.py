@@ -153,3 +153,31 @@ class TestStackedFeatureExtractor:
     for spec, emb, off in zip(specs, emb_s, stack.offsets):
       want = ht[np.asarray(batch[spec.key]) + off]
       np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-6)
+
+
+def test_solo_stack_inherits_shuffle_and_member_extraction():
+  """Solo stacks keep the member's shuffle_ids hot-id spreading (lost
+  before round 3), and member_tables inverts the mix so serving export
+  reconstructs the logical table."""
+  import jax.numpy as jnp
+  from hybridbackend_tpu.embedding.stack import (
+      build_stacks, create_stacked_tables, member_tables, stacked_lookup)
+  cfg = TableConfig('hot', 300, 8, shuffle_ids=True)
+  stacks = build_stacks([cfg])
+  assert len(stacks) == 1 and len(stacks[0].configs) == 1
+  st = stacks[0]
+  assert st.stacked.shuffle_ids
+  tables = create_stacked_tables(stacks, jax.random.PRNGKey(0))
+  name = st.stacked.name
+  host = np.asarray(tables[name])
+  ids_np = np.random.RandomState(0).randint(0, 300, 64).astype(np.int32)
+  out = stacked_lookup(st, tables[name], {'hot': jnp.asarray(ids_np)})
+  rows = np.asarray(st.stacked.row_index(jnp.asarray(ids_np)))
+  assert not np.array_equal(rows, ids_np)  # the mix actually engaged
+  np.testing.assert_allclose(np.asarray(out['hot']), host[rows],
+                             atol=1e-6)
+  member = member_tables(st, tables[name])['hot']
+  assert member.shape[0] == 300
+  # member[id] == the stacked lookup of id (mix inverted).
+  np.testing.assert_allclose(np.asarray(out['hot']), member[ids_np],
+                             atol=1e-6)
