@@ -54,8 +54,9 @@ def main():
 
   results = []
   for spec in variants:
-    br, ch, prec = spec.split(':')
-    br, ch = int(br), int(ch)
+    parts = spec.split(':')
+    br, ch, prec = int(parts[0]), int(parts[1]), parts[2]
+    dmac = int(parts[3]) if len(parts) > 3 else 0
 
     def one_step(carry, _):
       table, acc, shift = carry
@@ -66,7 +67,7 @@ def main():
       g = upd * (1.0 + 1e-6 * shift)
       table, acc = adagrad_update_sorted(
           table, acc, base_rows, g, lr=0.1, block_rows=br, chunk=ch,
-          precision=prec, interpret=interpret)
+          precision=prec, interpret=interpret, dma_chunk=dmac)
       return (table, acc, shift + 1.0), ()
 
     @jax.jit

@@ -47,7 +47,7 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
                     upd_s, gsum_s, sems, *, block_rows, chunk,
                     mode, eps, precision,
                     lr_ref=None, acc_ref=None, acc_out_ref=None,
-                    touched=False):
+                    touched=False, dma_chunk=0, expand_p=0):
   """Grid dim 0 walks table blocks.
 
   The per-block update is computed as a ONE-HOT MXU MATMUL, not a
@@ -106,32 +106,88 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
   def _():
     gsum_s[...] = jnp.zeros_like(gsum_s)
 
-    def process_chunk(c0):
-      c0 = pl.multiple_of(c0, chunk)
-      upd_cp = pltpu.make_async_copy(
-          upd_hbm.at[pl.ds(c0, chunk), :], upd_s, sems.at[0])
-      upd_cp.start()
-      upd_cp.wait()
+    def accumulate(upd_view, c0):
+      """One-hot matmul of chunk ``c0`` (update rows staged in
+      ``upd_view`` [chunk, lanes]).
+
+      With ``expand_p`` (in-kernel lane packing), ``rows_ref`` holds
+      the ORIGINAL (unpacked) row ids and ``upd_view`` the raw
+      ``[chunk, d]`` updates: the packed-row one-hot uses ``row // p``
+      and the update is expanded into its ``(row % p)·d`` lane slice
+      here, in VMEM, where the narrow intermediate costs nothing —
+      an XLA-side expansion pays ~8x physical lane padding in HBM
+      (measured 8.5 ms at the flagship shape)."""
       ci = c0 // chunk
       # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
-      local = rows_ref[pl.ds(ci, 1), :] - b * block_rows  # [1, chunk]
+      raw = rows_ref[pl.ds(ci, 1), :]                     # [1, chunk]
+      if expand_p:
+        d0 = upd_view.shape[1]
+        prow = jnp.where(raw >= 0, raw // expand_p, raw)
+        local = prow - b * block_rows
+        lane = jnp.where(raw >= 0, raw % expand_p, -1)    # [1, chunk]
+        lidx = jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, expand_p * d0), 1) // d0   # [chunk, 128]
+        src = jnp.concatenate([upd_view] * expand_p, axis=1)
+        upd_view = jnp.where(lidx == lane.reshape(chunk, 1), src, 0)
+      else:
+        local = raw - b * block_rows
       # Transposed one-hot via broadcast compare: [block_rows, chunk].
       onehot_t = (jax.lax.broadcasted_iota(
           jnp.int32, (block_rows, chunk), 0) == local).astype(
-              upd_s.dtype)
+              upd_view.dtype)
       gsum_s[...] += jax.lax.dot_general(
-          onehot_t, upd_s[...],
+          onehot_t, upd_view,
           dimension_numbers=(((1,), (0,)), ((), ())),
           precision=precision,
           preferred_element_type=jnp.float32).astype(gsum_s.dtype)
-      return c0 + chunk
 
-    # Walk this block's update range in CHUNK-ALIGNED pieces (DMA
-    # starts must be tile-aligned; out-of-range rows a rounded-down
-    # chunk drags in vanish in the one-hot). A double-buffered variant
-    # measured no faster — the matmul, not DMA latency, is the cost.
-    jax.lax.while_loop(lambda c: c < end, process_chunk,
-                       (start // chunk) * chunk)
+    if not dma_chunk:
+      def process_chunk(c0):
+        c0 = pl.multiple_of(c0, chunk)
+        upd_cp = pltpu.make_async_copy(
+            upd_hbm.at[pl.ds(c0, chunk), :], upd_s, sems.at[0])
+        upd_cp.start()
+        upd_cp.wait()
+        accumulate(upd_s[...], c0)
+        return c0 + chunk
+
+      # Walk this block's update range in CHUNK-ALIGNED pieces (DMA
+      # starts must be tile-aligned; out-of-range rows a rounded-down
+      # chunk drags in vanish in the one-hot).
+      jax.lax.while_loop(lambda c: c < end, process_chunk,
+                         (start // chunk) * chunk)
+    else:
+      # Decoupled transfer/compute granules: double-buffered
+      # ``dma_chunk``-row super-chunk DMAs (amortizes per-transfer
+      # fixed costs) with a STATIC inner loop of ``chunk``-row one-hot
+      # matmuls from VMEM. upd_s is [2, dma_chunk, lanes].
+      dmac = dma_chunk
+      start_al = (start // dmac) * dmac
+      nsup = (end - start_al + dmac - 1) // dmac
+
+      def get_copy(slot, s0):
+        return pltpu.make_async_copy(
+            upd_hbm.at[pl.ds(s0, dmac), :], upd_s.at[slot],
+            sems.at[slot])
+
+      get_copy(0, pl.multiple_of(start_al, dmac)).start()
+
+      def sup_body(i, _):
+        s0 = pl.multiple_of(start_al + i * dmac, dmac)
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nsup)
+        def _():
+          get_copy(jax.lax.rem(i + 1, 2),
+                   pl.multiple_of(s0 + dmac, dmac)).start()
+
+        get_copy(slot, s0).wait()
+        for k in range(dmac // chunk):
+          accumulate(upd_s[slot, pl.ds(k * chunk, chunk), :],
+                     s0 + k * chunk)
+        return 0
+
+      jax.lax.fori_loop(0, nsup, sup_body, 0)
 
     d = out_ref.shape[1]
     gsum = gsum_s[...][:, :d]
@@ -227,34 +283,22 @@ def _pack_factor(v: int, d: int) -> int:
   return p if v % p == 0 else 1
 
 
-def _pack_updates(rows: jax.Array, updates: jax.Array, p: int
-                  ) -> Tuple[jax.Array, jax.Array]:
-  """Map sorted (rows, updates[N, d]) into the packed space: packed row
-  ``r // p`` and the update placed in lane slice ``(r % p)·d``. Invalid
-  rows (-1) stay invalid; OOB sentinels stay OOB."""
-  n, d = updates.shape
-  prow = jnp.where(rows >= 0, rows // p, rows)
-  lane = jnp.where(rows >= 0, (rows % p).astype(jnp.int32), 0)
-  oh = (lane[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :]
-        ).astype(updates.dtype)
-  upd = (oh[:, :, None] * updates[:, None, :]).reshape(n, p * d)
-  return prow, upd
-
-
 def _pack_ids(ids: jax.Array, p: int) -> jax.Array:
   return jnp.where(ids >= 0, ids // p, ids)
 
 
-def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK
-                ) -> Tuple[jax.Array, jax.Array]:
+def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK,
+                lane_pad: bool = True) -> Tuple[jax.Array, jax.Array]:
   """Pad the update list with OOB sentinel rows to a chunk multiple,
   plus one extra chunk so a chunk DMA starting anywhere below the last
-  valid index never reads past the buffer."""
+  valid index never reads past the buffer. ``lane_pad=False`` keeps the
+  raw update width (the lane-packed kernel expands in VMEM — padding
+  the HBM array to 128 lanes would move 128/d times the bytes)."""
   n = rows.shape[0]
   pad = (-n) % chunk + chunk
   rows = jnp.pad(rows, (0, pad), constant_values=2**31 - 1)
-  lane_pad = (-updates.shape[1]) % 128
-  updates = jnp.pad(updates, ((0, pad), (0, lane_pad)))
+  lanes = (-updates.shape[1]) % 128 if lane_pad else 0
+  updates = jnp.pad(updates, ((0, pad), (0, lanes)))
   return rows, updates
 
 
@@ -290,7 +334,8 @@ def sorted_segment_totals(ids: jax.Array, g: jax.Array
 
 @functools.partial(jax.jit, static_argnames=('block_rows', 'chunk',
                                              'precision', 'interpret',
-                                             'touched_blocks', 'pack'))
+                                             'touched_blocks', 'pack',
+                                             'dma_chunk'))
 def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                        updates: jax.Array,
                        block_ids: Optional[jax.Array] = None,
@@ -299,7 +344,8 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                        precision: str = 'highest',
                        interpret: bool = False,
                        touched_blocks: int = 0,
-                       pack: bool = True) -> jax.Array:
+                       pack: bool = True,
+                       dma_chunk: int = 0) -> jax.Array:
   """``table.at[rows].add(updates)`` for SORTED rows, as a table stream.
 
   rows: int32 [N] ascending; -1 or >= vocab entries are ignored.
@@ -317,29 +363,36 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
   v, d = table.shape
   if block_ids is None:
     block_ids = rows
-  if pack:
-    p = _pack_factor(v, d)
-    if p > 1:
-      prow, pupd = _pack_updates(rows, updates.astype(table.dtype), p)
-      out = scatter_add_sorted(
-          table.reshape(v // p, p * d), prow, pupd,
-          block_ids=_pack_ids(block_ids, p), block_rows=block_rows,
-          chunk=chunk, precision=precision, interpret=interpret,
-          touched_blocks=touched_blocks, pack=False)
-      return out.reshape(v, d)
+  p = _pack_factor(v, d) if pack else 1
+  if p > 1:
+    # Lane-packed execution: the KERNEL sees a [v/p, 128] table; rows
+    # stay original (it derives row//p and the lane slice in VMEM) and
+    # updates stay [N, d] in HBM (no 128/d byte blowup).
+    kv, kd = v // p, p * d
+    ktable = table.reshape(kv, kd)
+    block_ids = _pack_ids(block_ids, p)
+  else:
+    kv, kd = v, d
+    ktable = table
+  if dma_chunk and dma_chunk % chunk:
+    raise ValueError('dma_chunk must be a multiple of chunk')
+  pad_unit = max(chunk, dma_chunk)
   block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
-                             jnp.zeros((block_ids.shape[0], 1)), chunk)
+                             jnp.zeros((block_ids.shape[0], 1)), pad_unit)
   rows, updates = pad_updates(rows.astype(jnp.int32),
-                              updates.astype(table.dtype), chunk)
-  starts = _block_starts(block_ids, v, block_rows)
+                              updates.astype(table.dtype), pad_unit,
+                              lane_pad=(p == 1))
+  starts = _block_starts(block_ids, kv, block_rows)
   rows = rows.reshape(-1, chunk)
-  nblocks = pl.cdiv(v, block_rows)
+  nblocks = pl.cdiv(kv, block_rows)
+  upd_lanes = updates.shape[1]
 
   def call(s0, grid, touched, tbl):
     kernel = functools.partial(
         _scatter_kernel, block_rows=block_rows, chunk=chunk, mode='add',
         eps=0.0, precision=jax.lax.Precision(precision.lower()),
-        touched=touched)
+        touched=touched, dma_chunk=dma_chunk,
+        expand_p=p if p > 1 else 0)
     imap = (lambda b, s: (s[0, b], 0)) if touched else \
         (lambda b, s: (b, 0))
     return pl.pallas_call(
@@ -350,37 +403,43 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
                 pl.BlockSpec(memory_space=pltpu.ANY),   # updates (HBM)
-                pl.BlockSpec((block_rows, d), imap,
+                pl.BlockSpec((block_rows, kd), imap,
                              memory_space=pltpu.VMEM),  # table block in
             ],
-            out_specs=pl.BlockSpec((block_rows, d), imap,
+            out_specs=pl.BlockSpec((block_rows, kd), imap,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
-                pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+                pltpu.VMEM((2, dma_chunk, upd_lanes), table.dtype)
+                if dma_chunk else
+                pltpu.VMEM((chunk, upd_lanes), table.dtype),
+                pltpu.VMEM((block_rows, kd + (-kd) % 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((kv, kd), table.dtype),
         input_output_aliases={3: 0},  # table buffer updated in place
         interpret=interpret,
     )(s0, rows, updates, tbl)
 
-  if not touched_blocks or touched_blocks >= nblocks:
-    return call(starts, nblocks, False, table)
-  meta, overflow = _touched_meta(block_ids, starts, v, block_rows,
-                                 touched_blocks)
-  return jax.lax.cond(
-      overflow,
-      lambda t: call(starts, nblocks, False, t),
-      lambda t: call(meta, touched_blocks, True, t),
-      table)
+  def run(tbl):
+    if not touched_blocks or touched_blocks >= nblocks:
+      return call(starts, nblocks, False, tbl)
+    meta, overflow = _touched_meta(block_ids, starts, kv, block_rows,
+                                   touched_blocks)
+    return jax.lax.cond(
+        overflow,
+        lambda t: call(starts, nblocks, False, t),
+        lambda t: call(meta, touched_blocks, True, t),
+        tbl)
+
+  return run(ktable).reshape(v, d)
 
 
 @functools.partial(jax.jit, static_argnames=('eps', 'block_rows',
                                              'chunk', 'precision',
                                              'interpret',
-                                             'touched_blocks', 'pack'))
+                                             'touched_blocks', 'pack',
+                                             'dma_chunk'))
 def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           rows: jax.Array, updates: jax.Array,
                           lr, eps: float = 1e-7,
@@ -390,7 +449,8 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           precision: str = 'highest',
                           interpret: bool = False,
                           touched_blocks: int = 0,
-                          pack: bool = True
+                          pack: bool = True,
+                          dma_chunk: int = 0
                           ) -> Tuple[jax.Array, jax.Array]:
   """Fused sparse Adagrad: one table stream updates accumulator AND
   table (``acc[r] += g²; table[r] -= lr·g/sqrt(acc[r]+eps)``), rows
@@ -405,24 +465,28 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
   v, d = table.shape
   if block_ids is None:
     block_ids = rows
-  if pack:
-    p = _pack_factor(v, d)
-    if p > 1:
-      prow, pupd = _pack_updates(rows, updates.astype(table.dtype), p)
-      t2, a2 = adagrad_update_sorted(
-          table.reshape(v // p, p * d), acc.reshape(v // p, p * d),
-          prow, pupd, lr, eps=eps, block_ids=_pack_ids(block_ids, p),
-          block_rows=block_rows, chunk=chunk, precision=precision,
-          interpret=interpret, touched_blocks=touched_blocks,
-          pack=False)
-      return t2.reshape(v, d), a2.reshape(v, d)
+  p = _pack_factor(v, d) if pack else 1
+  if p > 1:
+    # See scatter_add_sorted: kernel-side lane packing, raw updates.
+    kv, kd = v // p, p * d
+    ktable = table.reshape(kv, kd)
+    kacc = acc.reshape(kv, kd)
+    block_ids = _pack_ids(block_ids, p)
+  else:
+    kv, kd = v, d
+    ktable, kacc = table, acc
+  if dma_chunk and dma_chunk % chunk:
+    raise ValueError('dma_chunk must be a multiple of chunk')
+  pad_unit = max(chunk, dma_chunk)
   block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
-                             jnp.zeros((block_ids.shape[0], 1)), chunk)
+                             jnp.zeros((block_ids.shape[0], 1)), pad_unit)
   rows, updates = pad_updates(rows.astype(jnp.int32),
-                              updates.astype(table.dtype), chunk)
-  starts = _block_starts(block_ids, v, block_rows)
+                              updates.astype(table.dtype), pad_unit,
+                              lane_pad=(p == 1))
+  starts = _block_starts(block_ids, kv, block_rows)
   rows = rows.reshape(-1, chunk)
-  nblocks = pl.cdiv(v, block_rows)
+  nblocks = pl.cdiv(kv, block_rows)
+  upd_lanes = updates.shape[1]
 
   lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
 
@@ -434,11 +498,12 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                       chunk=chunk, mode='adagrad', eps=eps,
                       precision=jax.lax.Precision(precision.lower()),
                       lr_ref=lr_ref, acc_ref=acc_ref,
-                      acc_out_ref=acc_out, touched=touched)
+                      acc_out_ref=acc_out, touched=touched,
+                      dma_chunk=dma_chunk, expand_p=p if p > 1 else 0)
 
     imap = (lambda b, s, l: (s[0, b], 0)) if touched else \
         (lambda b, s, l: (b, 0))
-    bspec = pl.BlockSpec((block_rows, d), imap, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((block_rows, kd), imap, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -451,26 +516,32 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
             ],
             out_specs=(bspec, bspec),
             scratch_shapes=[
-                pltpu.VMEM((chunk, d + (-d) % 128), table.dtype),
-                pltpu.VMEM((block_rows, d + (-d) % 128), jnp.float32),
+                pltpu.VMEM((2, dma_chunk, upd_lanes), table.dtype)
+                if dma_chunk else
+                pltpu.VMEM((chunk, upd_lanes), table.dtype),
+                pltpu.VMEM((block_rows, kd + (-kd) % 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=(jax.ShapeDtypeStruct((v, d), table.dtype),
-                   jax.ShapeDtypeStruct((v, d), acc.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((kv, kd), table.dtype),
+                   jax.ShapeDtypeStruct((kv, kd), acc.dtype)),
         input_output_aliases={4: 0, 5: 1},
         interpret=interpret,
     )(s0, lr_arr, rows, updates, tbl, acc_in)
 
-  if not touched_blocks or touched_blocks >= nblocks:
-    return call(starts, nblocks, False, table, acc)
-  meta, overflow = _touched_meta(block_ids, starts, v, block_rows,
-                                 touched_blocks)
-  return jax.lax.cond(
-      overflow,
-      lambda t, a: call(starts, nblocks, False, t, a),
-      lambda t, a: call(meta, touched_blocks, True, t, a),
-      table, acc)
+  def run(tbl, acc_in):
+    if not touched_blocks or touched_blocks >= nblocks:
+      return call(starts, nblocks, False, tbl, acc_in)
+    meta, overflow = _touched_meta(block_ids, starts, kv, block_rows,
+                                   touched_blocks)
+    return jax.lax.cond(
+        overflow,
+        lambda t, a: call(starts, nblocks, False, t, a),
+        lambda t, a: call(meta, touched_blocks, True, t, a),
+        tbl, acc_in)
+
+  t2, a2 = run(ktable, kacc)
+  return t2.reshape(v, d), a2.reshape(v, d)
 
 
 __all__ = ['scatter_add_sorted', 'adagrad_update_sorted',
