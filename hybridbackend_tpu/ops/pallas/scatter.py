@@ -121,13 +121,17 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
       # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
       raw = rows_ref[pl.ds(ci, 1), :]                     # [1, chunk]
       if expand_p:
-        d0 = upd_view.shape[1]
+        # upd_view is the [chunk/p, p*d] slice of the row-major
+        # [N/p, 128] HBM view (DMA lane alignment needs 128-lane
+        # slices); un-pack to the logical [chunk, d] rows first.
+        d0 = upd_view.shape[1] // expand_p
+        u = upd_view.reshape(chunk, d0)                   # row-major
         prow = jnp.where(raw >= 0, raw // expand_p, raw)
         local = prow - b * block_rows
         lane = jnp.where(raw >= 0, raw % expand_p, -1)    # [1, chunk]
         lidx = jax.lax.broadcasted_iota(
             jnp.int32, (chunk, expand_p * d0), 1) // d0   # [chunk, 128]
-        src = jnp.concatenate([upd_view] * expand_p, axis=1)
+        src = jnp.concatenate([u] * expand_p, axis=1)
         upd_view = jnp.where(lidx == lane.reshape(chunk, 1), src, 0)
       else:
         local = raw - b * block_rows
@@ -141,11 +145,14 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
           precision=precision,
           preferred_element_type=jnp.float32).astype(gsum_s.dtype)
 
+    ep = max(expand_p, 1)
+
     if not dma_chunk:
       def process_chunk(c0):
         c0 = pl.multiple_of(c0, chunk)
         upd_cp = pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(c0, chunk), :], upd_s, sems.at[0])
+            upd_hbm.at[pl.ds(c0 // ep, chunk // ep), :], upd_s,
+            sems.at[0])
         upd_cp.start()
         upd_cp.wait()
         accumulate(upd_s[...], c0)
@@ -167,7 +174,7 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
 
       def get_copy(slot, s0):
         return pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(s0, dmac), :], upd_s.at[slot],
+            upd_hbm.at[pl.ds(s0 // ep, dmac // ep), :], upd_s.at[slot],
             sems.at[slot])
 
       get_copy(0, pl.multiple_of(start_al, dmac)).start()
@@ -183,7 +190,7 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
 
         get_copy(slot, s0).wait()
         for k in range(dmac // chunk):
-          accumulate(upd_s[slot, pl.ds(k * chunk, chunk), :],
+          accumulate(upd_s[slot, pl.ds(k * (chunk // ep), chunk // ep), :],
                      s0 + k * chunk)
         return 0
 
@@ -287,6 +294,25 @@ def _pack_ids(ids: jax.Array, p: int) -> jax.Array:
   return jnp.where(ids >= 0, ids // p, ids)
 
 
+def _pack_expand(rows: jax.Array, updates: jax.Array, p: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+  """XLA-side packed expansion: packed row ``r//p`` plus the update
+  placed in lane slice ``(r%p)·d`` of a [N, p·d=128] array.
+
+  Kernel-side expansion would avoid materializing this, but Mosaic
+  cannot view a [X, 128] VMEM value as [pX, d] ("unsupported shape
+  cast"), and HBM→VMEM DMAs require 128-lane minor dims — so the
+  expansion happens here (measured 2.7 ms at [213k, 16] on one v5e
+  chip when fused into a consumer)."""
+  n, d = updates.shape
+  prow = jnp.where(rows >= 0, rows // p, rows)
+  lane = jnp.where(rows >= 0, (rows % p).astype(jnp.int32), 0)
+  oh = (lane[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :]
+        ).astype(updates.dtype)
+  upd = (oh[:, :, None] * updates[:, None, :]).reshape(n, p * d)
+  return prow, upd
+
+
 def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK,
                 lane_pad: bool = True) -> Tuple[jax.Array, jax.Array]:
   """Pad the update list with OOB sentinel rows to a chunk multiple,
@@ -365,12 +391,12 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
     block_ids = rows
   p = _pack_factor(v, d) if pack else 1
   if p > 1:
-    # Lane-packed execution: the KERNEL sees a [v/p, 128] table; rows
-    # stay original (it derives row//p and the lane slice in VMEM) and
-    # updates stay [N, d] in HBM (no 128/d byte blowup).
+    # Lane-packed execution: kernel sees a [v/p, 128] table; the
+    # update expansion happens XLA-side (see _pack_expand).
     kv, kd = v // p, p * d
     ktable = table.reshape(kv, kd)
     block_ids = _pack_ids(block_ids, p)
+    rows, updates = _pack_expand(rows, updates.astype(table.dtype), p)
   else:
     kv, kd = v, d
     ktable = table
@@ -380,19 +406,19 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
   block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
                              jnp.zeros((block_ids.shape[0], 1)), pad_unit)
   rows, updates = pad_updates(rows.astype(jnp.int32),
-                              updates.astype(table.dtype), pad_unit,
-                              lane_pad=(p == 1))
+                              updates.astype(table.dtype), pad_unit)
   starts = _block_starts(block_ids, kv, block_rows)
   rows = rows.reshape(-1, chunk)
   nblocks = pl.cdiv(kv, block_rows)
   upd_lanes = updates.shape[1]
+  upd_chunk_rows = chunk
+  upd_dma_rows = dma_chunk
 
   def call(s0, grid, touched, tbl):
     kernel = functools.partial(
         _scatter_kernel, block_rows=block_rows, chunk=chunk, mode='add',
         eps=0.0, precision=jax.lax.Precision(precision.lower()),
-        touched=touched, dma_chunk=dma_chunk,
-        expand_p=p if p > 1 else 0)
+        touched=touched, dma_chunk=dma_chunk)
     imap = (lambda b, s: (s[0, b], 0)) if touched else \
         (lambda b, s: (b, 0))
     return pl.pallas_call(
@@ -409,9 +435,9 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
             out_specs=pl.BlockSpec((block_rows, kd), imap,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, dma_chunk, upd_lanes), table.dtype)
+                pltpu.VMEM((2, upd_dma_rows, upd_lanes), table.dtype)
                 if dma_chunk else
-                pltpu.VMEM((chunk, upd_lanes), table.dtype),
+                pltpu.VMEM((upd_chunk_rows, upd_lanes), table.dtype),
                 pltpu.VMEM((block_rows, kd + (-kd) % 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -467,11 +493,12 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
     block_ids = rows
   p = _pack_factor(v, d) if pack else 1
   if p > 1:
-    # See scatter_add_sorted: kernel-side lane packing, raw updates.
+    # See scatter_add_sorted / _pack_expand.
     kv, kd = v // p, p * d
     ktable = table.reshape(kv, kd)
     kacc = acc.reshape(kv, kd)
     block_ids = _pack_ids(block_ids, p)
+    rows, updates = _pack_expand(rows, updates.astype(table.dtype), p)
   else:
     kv, kd = v, d
     ktable, kacc = table, acc
@@ -481,12 +508,13 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
   block_ids, _ = pad_updates(block_ids.astype(jnp.int32),
                              jnp.zeros((block_ids.shape[0], 1)), pad_unit)
   rows, updates = pad_updates(rows.astype(jnp.int32),
-                              updates.astype(table.dtype), pad_unit,
-                              lane_pad=(p == 1))
+                              updates.astype(table.dtype), pad_unit)
   starts = _block_starts(block_ids, kv, block_rows)
   rows = rows.reshape(-1, chunk)
   nblocks = pl.cdiv(kv, block_rows)
   upd_lanes = updates.shape[1]
+  upd_chunk_rows = chunk
+  upd_dma_rows = dma_chunk
 
   lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
 
@@ -499,7 +527,7 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                       precision=jax.lax.Precision(precision.lower()),
                       lr_ref=lr_ref, acc_ref=acc_ref,
                       acc_out_ref=acc_out, touched=touched,
-                      dma_chunk=dma_chunk, expand_p=p if p > 1 else 0)
+                      dma_chunk=dma_chunk)
 
     imap = (lambda b, s, l: (s[0, b], 0)) if touched else \
         (lambda b, s, l: (b, 0))
@@ -516,9 +544,9 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
             ],
             out_specs=(bspec, bspec),
             scratch_shapes=[
-                pltpu.VMEM((2, dma_chunk, upd_lanes), table.dtype)
+                pltpu.VMEM((2, upd_dma_rows, upd_lanes), table.dtype)
                 if dma_chunk else
-                pltpu.VMEM((chunk, upd_lanes), table.dtype),
+                pltpu.VMEM((upd_chunk_rows, upd_lanes), table.dtype),
                 pltpu.VMEM((block_rows, kd + (-kd) % 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
