@@ -131,6 +131,23 @@ def _touched_blocks_auto(vocab: int, n_updates: int,
   return n_updates if nblocks > n_updates else 0
 
 
+def _touched_blocks_auto_packed(table, n_updates: int, block_rows) -> int:
+  """Like :func:`_touched_blocks_auto` but against the PACKED block
+  count: lane packing divides the stream's block count by the pack
+  factor, so the updates-vs-blocks crossover moves with it."""
+  opt = int(OPTIONS['emb_update_touched_blocks'])
+  if opt > 0:
+    return opt
+  if opt < 0:
+    return 0
+  from hybridbackend_tpu.ops.pallas.scatter import (
+      _BLOCK_ROWS, _pack_factor)
+  br = int(block_rows or _BLOCK_ROWS)
+  v, d = table.shape
+  nblocks = -(-(v // _pack_factor(v, d)) // br)
+  return n_updates if nblocks > n_updates else 0
+
+
 
 def _stream_kwargs(table, rows):
   """Shared option plumbing for the three stream kernels (block size,
@@ -140,8 +157,8 @@ def _stream_kwargs(table, rows):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
-  tb = _touched_blocks_auto(table.shape[0], rows.shape[0],
-                            kwargs.get('block_rows'))
+  tb = _touched_blocks_auto_packed(table, rows.shape[0],
+                                   kwargs.get('block_rows'))
   if tb:
     kwargs['touched_blocks'] = tb
   return kwargs

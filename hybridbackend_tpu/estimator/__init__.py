@@ -80,6 +80,18 @@ OPTIONS.register('summary_steps', 100, env='HB_SUMMARY_STEPS',
                      'are always summarized when a model_dir is set.')
 
 
+def _host_mean(v) -> float:
+  """Mean of a metric as a host float. Batch-sharded aux arrays (e.g.
+  per-example losses) are not fully addressable in multi-process runs —
+  average this process's local shards instead (equal-sized shards, so
+  the local mean equals the global mean of what this process holds)."""
+  if isinstance(v, jax.Array) and not (v.is_fully_replicated
+                                       or v.is_fully_addressable):
+    parts = [np.asarray(s.data) for s in v.addressable_shards]
+    return float(np.mean([p.mean() for p in parts]))
+  return float(np.asarray(v).mean())
+
+
 class Trainer:
   """Owns the full training lifecycle for one model.
 
@@ -232,7 +244,7 @@ class Trainer:
         if self._cache_runner is not None:
           self._cache_runner.flush(self.state)
         self._ckpt.save(self.global_step, self.state)
-    return {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
+    return {k: _host_mean(v) for k, v in metrics.items()}
 
   # -- evaluation ------------------------------------------------------------
 
