@@ -107,6 +107,26 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
     return out.reshape(*ids.shape, config.dim)
 
   rows = config.row_index(ids, ctx)
+
+  p = config.pack_factor(ctx)
+  if p > 1:
+    # Lane-packed table ([V/p, 128] physical; see emb_lane_pack): fetch
+    # the packed row through the ordinary machinery, then select the
+    # logical row's lane slice — a batch-sized mask, so the narrow
+    # intermediate costs nothing (table-sized narrow arrays are what
+    # XLA pads 128/d-fold).
+    import dataclasses as _dc
+    pcfg = _dc.replace(config, vocab_size=config.padded_vocab(ctx) // p,
+                       dim=p * config.dim, shuffle_ids=False,
+                       lane_pack=False, initializer=None)
+    prows = jnp.where(rows >= 0, rows // p, rows)
+    wide = lookup(table, prows, pcfg, ctx=ctx, strategy=strategy)
+    lane = jnp.where(rows >= 0, (rows % p).astype(jnp.int32), 0)
+    oh = (lane[..., None] == jnp.arange(p, dtype=jnp.int32)
+          ).astype(wide.dtype)
+    wide = wide.reshape(*rows.shape, p, config.dim)
+    return (wide * oh[..., None]).sum(-2)
+
   if not config.should_shard(ctx):
     # Replicated path honors the same contract as every sharded
     # strategy: out-of-range/negative ids (padding lanes, unadmitted

@@ -164,7 +164,7 @@ class EmbeddingCache:
     so no id mixing)."""
     import dataclasses
     return dataclasses.replace(self.config, vocab_size=self.capacity,
-                               shuffle_ids=False)
+                               shuffle_ids=False, lane_pack=False)
 
   @property
   def resident(self) -> int:

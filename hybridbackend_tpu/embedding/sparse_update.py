@@ -427,6 +427,26 @@ def _sgd_rows(table, rows, gsum, lr):
   return table.at[rows].add(-lr * gsum, mode='drop')
 
 
+def _maybe_lane_pack(rows_b, demb, config: TableConfig, ctx):
+  """Map (logical rows, [N, d] grads) into a lane-packed table's space:
+  packed rows ``r//p`` and grads expanded into lane slice ``(r%p)·d``
+  (see ``TableConfig.pack_factor`` / ``emb_lane_pack``). Returns the
+  possibly-updated ``(rows, grads, config)`` — downstream code then
+  operates on the PHYSICAL [V/p, 128] geometry uniformly. Exact for
+  add/adagrad: logical rows sharing a packed row occupy disjoint
+  lanes."""
+  p = config.pack_factor(ctx)
+  if p <= 1:
+    return rows_b, demb, config
+  import dataclasses as _dc
+  from hybridbackend_tpu.ops.pallas.scatter import _pack_expand
+  rows_b, demb = _pack_expand(rows_b, demb, p)
+  pcfg = _dc.replace(config, vocab_size=config.padded_vocab(ctx) // p,
+                     dim=p * config.dim, shuffle_ids=False,
+                     lane_pack=False, initializer=None)
+  return rows_b, demb, pcfg
+
+
 def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
                          ids: jax.Array, demb: jax.Array,
                          config: TableConfig, lr: float,
@@ -453,6 +473,7 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     _warn_nodedup_ignored()
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
+  rows_b, demb, config = _maybe_lane_pack(rows_b, demb, config, ctx)
   rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
   acc = state.acc[0]
 
@@ -548,6 +569,7 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
   ctx = ctx or Context.get()
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
+  rows_b, demb, config = _maybe_lane_pack(rows_b, demb, config, ctx)
   rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
 
   if not config.should_shard(ctx):
@@ -637,6 +659,12 @@ def sparse_adam_apply(table: jax.Array, state: SparseOptState,
   cover its tutorial configurations.
   """
   ctx = ctx or Context.get()
+  if config.pack_factor(ctx) > 1:
+    raise ValueError(
+        f'table {config.name!r}: lane packing is incompatible with '
+        'LazyAdam (per-row presence would decay neighboring logical '
+        "rows' moments) — declare the table with lane_pack=False or "
+        "scope emb_lane_pack='off' for it.")
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
   rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)

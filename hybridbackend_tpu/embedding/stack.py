@@ -144,6 +144,9 @@ def member_tables(stack: TableStack, stacked: jax.Array,
   ctx = ctx or Context.get()
   vocab = stack.stacked.padded_vocab(ctx)
   host = np.asarray(stacked)
+  if stack.stacked.pack_factor(ctx) > 1:
+    # Lane-packed physical layout: free row-major unpack on the host.
+    host = host.reshape(vocab, stack.stacked.dim)
   if stack.stacked.shuffle_ids:
     # Solo shuffled stack: logical row r lives at mix(r) — invert by
     # gathering the mixed positions back into logical order.

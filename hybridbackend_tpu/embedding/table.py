@@ -64,6 +64,18 @@ OPTIONS.register(
         'through the full-capacity exchange (globally-uniform lax.cond '
         'branch, exact). Disabling leaves garbage embeddings in '
         'overflowed lanes — only for benchmarking.')
+OPTIONS.register(
+    'emb_lane_pack', 'auto', env='HB_EMB_LANE_PACK',
+    doc="Store narrow (dim<128, 128%dim==0) tables lane-PACKED as "
+        "[V/p, 128] physical arrays (p=128/dim). XLA tiles every f32 "
+        "array to 128 lanes, so a narrow table otherwise occupies "
+        "128/dim times its logical bytes in HBM and every pass over it "
+        "(optimizer, update kernel) moves the padding too. 'auto' packs "
+        "single-chip row-partition tables (multi-chip lookups would "
+        "ship 128-lane rows on the wire — opt in per table when ids "
+        "are packed-row-local); 'on'/'off' force. Lane selection on "
+        "lookup is a batch-sized mask — negligible. LazyAdam tables "
+        "never pack (per-row presence needs a spare lane).")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -94,6 +106,7 @@ class TableConfig:
   partition: str = 'row'           # 'row' | 'column' (dim-axis sharding
                                    # for large-dim tables; requires
                                    # dim % world_size == 0)
+  lane_pack: Optional[bool] = None  # None = emb_lane_pack option policy
 
   def should_shard(self, ctx: Optional[Context] = None) -> bool:
     """Reference policy: shard iff world>1 ∧ sharding enabled ∧ table is
@@ -111,15 +124,42 @@ class TableConfig:
       return False
     return True
 
+  def pack_factor(self, ctx: Optional[Context] = None) -> int:
+    """Lane-packing factor ``p`` (1 = unpacked): the table is stored
+    physically as ``[padded_vocab/p, p·dim = 128]`` (see the
+    ``emb_lane_pack`` option doc — XLA pads every f32 minor dim to 128
+    lanes, so narrow tables otherwise waste 128/dim of HBM and of every
+    streaming pass)."""
+    if self.dim >= 128 or 128 % self.dim != 0 or self.partition != 'row':
+      return 1
+    want = self.lane_pack
+    if want is None:
+      mode = str(OPTIONS.get_for('emb_lane_pack', self.name))
+      ctx = ctx or Context.get()
+      if mode == 'on':
+        want = True
+      elif mode == 'off':
+        want = False
+      else:  # auto: single-chip only (packed rows ride the wire 128-wide)
+        want = ctx.world_size == 1
+    return 128 // self.dim if want else 1
+
   def padded_vocab(self, ctx: Optional[Context] = None) -> int:
-    """Vocab rounded up so every shard holds the same number of rows."""
+    """Vocab rounded up so every shard holds the same number of rows
+    (and, when lane-packed, so packed rows split evenly too)."""
     ctx = ctx or Context.get()
     world = ctx.world_size if (self.should_shard(ctx)
                                and self.partition == 'row') else 1
     v = self.vocab_size
     if self.shuffle_ids:
       v = 1 << (v - 1).bit_length()  # pow2 for the invertible mix
-    return _round_up(v, world)
+    return _round_up(v, world * self.pack_factor(ctx))
+
+  def packed_shape(self, ctx: Optional[Context] = None) -> Tuple[int, int]:
+    """PHYSICAL array shape: [padded_vocab/p, p·dim]."""
+    ctx = ctx or Context.get()
+    p = self.pack_factor(ctx)
+    return self.padded_vocab(ctx) // p, p * self.dim
 
   def row_index(self, ids: jax.Array, ctx: Optional[Context] = None):
     """Map feature ids to physical table rows (identity unless shuffled).
@@ -169,15 +209,24 @@ def default_initializer(rng: jax.Array, shape: Tuple[int, int],
 
 def create_table(config: TableConfig, rng: jax.Array,
                  ctx: Optional[Context] = None) -> jax.Array:
-  """Materialize a table as a (possibly row-sharded) global array."""
+  """Materialize a table as a (possibly row-sharded) global array.
+
+  Lane-packed tables (``config.pack_factor() > 1``) come back with the
+  PHYSICAL shape ``[padded_vocab/p, p·dim]`` — logical row ``r`` lives
+  at packed row ``r//p``, lane slice ``(r%p)·dim``; ``lookup`` and the
+  sparse update paths handle the mapping transparently."""
   ctx = ctx or Context.get()
   vocab = config.padded_vocab(ctx)
   init = config.initializer or default_initializer
   sharding = config.sharding(ctx)
+  p = config.pack_factor(ctx)
 
   @jax.jit
   def _init(rng):
     out = init(rng, (vocab, config.dim)).astype(config.dtype)
+    if p > 1:
+      # Row-major reshape: logical rows interleave into lane slices.
+      out = out.reshape(vocab // p, p * config.dim)
     return jax.lax.with_sharding_constraint(out, sharding)
 
   with ctx.mesh:

@@ -507,7 +507,8 @@ class SparseTrainer(Trainer):
         vocab = cache.config.vocab_size
         full = np.asarray(
             cache.storage.pull('value', np.arange(vocab, dtype=np.int64)))
-        cfg = _dc.replace(cache.config, sharded=False, shuffle_ids=False)
+        cfg = _dc.replace(cache.config, sharded=False, shuffle_ids=False,
+                           lane_pack=False)
         serving_tables[name] = full
         serving_specs.append(EmbeddingSpec(cfg, column=spec.key))
         continue
@@ -520,7 +521,8 @@ class SparseTrainer(Trainer):
       # Stacked lookups address members at offset+raw_id (member
       # shuffle_ids is not applied inside a stack), so the extracted
       # contiguous slice serves with identity row mapping.
-      cfg = _dc.replace(spec.config, sharded=False, shuffle_ids=False)
+      cfg = _dc.replace(spec.config, sharded=False, shuffle_ids=False,
+                        lane_pack=False)
       serving_specs.append(EmbeddingSpec(cfg, column=spec.column))
 
     raw_loss = self._raw_model_loss
