@@ -64,6 +64,16 @@ def _ring(w):
   return (w - 1) / max(w, 1)
 
 
+def _phys_row_bytes(d: int) -> int:
+  """PHYSICAL bytes per table row: XLA tiles f32 minor dims to 128
+  lanes, so an unpacked narrow row occupies ceil(d/128)*128 floats.
+  Lane-packed tables (``emb_lane_pack``, 128 % d == 0) store at
+  logical density."""
+  if d < 128 and 128 % d == 0:
+    return d * 4            # packable -> logical density
+  return ((d + 127) // 128) * 128 * 4
+
+
 def _cost_replicated(v, d, b, w=1):
   # Backward is whichever collective the runtime would pick: the sparse
   # (rows, grads) all-gather scales with the batch, the dense [V, D]
@@ -72,7 +82,7 @@ def _cost_replicated(v, d, b, w=1):
   f = _ring(w)
   sparse_bwd = f * b * (d + 1) * 4
   dense_bwd = 2 * f * v * d * 4
-  return v * d * 4, int(min(sparse_bwd, dense_bwd))
+  return v * _phys_row_bytes(d), int(min(sparse_bwd, dense_bwd))
 
 
 def _cost_row_allgather(v, d, b, w, u, slack):
@@ -80,20 +90,20 @@ def _cost_row_allgather(v, d, b, w, u, slack):
   fwd = f * (b * 4 + b * d * 4)        # ids all-gather + reduce-scatter
   bwd = f * b * d * 4                  # cotangent all-gather
   upd = 2 * f * slack * u * (b / max(w, 1)) * (d + 1) * 4
-  return v * d * 4 // w, int(fwd + bwd + upd)
+  return v * _phys_row_bytes(d) // w, int(fwd + bwd + upd)
 
 
 def _cost_row_alltoall(v, d, b, w, u, slack):
   f = _ring(w)
   # One exchange = ids out + payload back = (D+1) elements per row.
   per_xchg = f * slack * max(1.0, u * b / max(w, 1)) * (d + 1) * 4
-  return v * d * 4 // w, int(2 * per_xchg)  # forward + gradient
+  return v * _phys_row_bytes(d) // w, int(2 * per_xchg)  # forward + gradient
 
 
 def _cost_column(v, d, b, w):
   f = _ring(w)
   fwd = f * (b * 4 + b * d * 4)
-  return v * d * 4 // w, int(2 * fwd)
+  return v * _phys_row_bytes(d) // w, int(2 * fwd)
 
 
 def plan_sharding(configs: Sequence,
