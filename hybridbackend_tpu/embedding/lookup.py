@@ -108,7 +108,7 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
 
   rows = config.row_index(ids, ctx)
 
-  p = config.pack_factor(ctx)
+  p = config.pack_of(table)
   if p > 1:
     # Lane-packed table ([V/p, 128] physical; see emb_lane_pack): fetch
     # the packed row through the ordinary machinery, then select the
@@ -116,7 +116,7 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
     # intermediate costs nothing (table-sized narrow arrays are what
     # XLA pads 128/d-fold).
     import dataclasses as _dc
-    pcfg = _dc.replace(config, vocab_size=config.padded_vocab(ctx) // p,
+    pcfg = _dc.replace(config, vocab_size=int(table.shape[0]),
                        dim=p * config.dim, shuffle_ids=False,
                        lane_pack=False, initializer=None)
     prows = jnp.where(rows >= 0, rows // p, rows)

@@ -55,6 +55,12 @@ OPTIONS.register(
         '133k updates on v5e; per-row gradient totals rounded to '
         'bf16 precision).')
 OPTIONS.register(
+    'emb_update_dma_chunk', 0, env='HB_EMB_UPDATE_DMA_CHUNK',
+    doc='Update-list transfer granule of the stream kernel (rows per '
+        'double-buffered DMA, a chunk multiple): decouples HBM '
+        'transfer size from the one-hot matmul granularity. 0 = '
+        'single-buffered per-chunk DMAs (the default).')
+OPTIONS.register(
     'emb_update_touched_blocks', 0, env='HB_EMB_UPDATE_TOUCHED_BLOCKS',
     doc='Sparse-grid mode of the stream update kernel: stream ONLY the '
         'touched table blocks (at most this many; more distinct touched '
@@ -157,6 +163,8 @@ def _stream_kwargs(table, rows):
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
   if OPTIONS['emb_update_matmul_precision'] != 'highest':
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
+  if OPTIONS['emb_update_dma_chunk']:
+    kwargs['dma_chunk'] = int(OPTIONS['emb_update_dma_chunk'])
   tb = _touched_blocks_auto_packed(table, rows.shape[0],
                                    kwargs.get('block_rows'))
   if tb:
@@ -164,14 +172,27 @@ def _stream_kwargs(table, rows):
   return kwargs
 
 
-def _stream_adagrad(table, acc, rows, g, lr, eps):
+def _stream_adagrad(table, acc, rows, g, lr, eps, pack_p: int = 1):
   """Sort + fused Pallas Adagrad (exact row-total semantics). ``lr``
-  may be a traced scalar (e.g. a schedule value)."""
-  from hybridbackend_tpu.ops.pallas.scatter import adagrad_update_sorted
+  may be a traced scalar (e.g. a schedule value).
+
+  ``pack_p > 1``: ``rows``/``g`` are still in the LOGICAL narrow
+  geometry of a lane-packed table — sort them narrow (the reorder
+  gather then moves ``d``-wide rows, not the 128-lane expansion: 8x
+  less HBM traffic at d=16) and expand ONCE into the kernel's padded
+  HBM input. Sorting raw rows groups packed rows contiguously
+  (``r`` ascending ⇒ ``r//p`` ascending), so the expanded list
+  satisfies the kernel's sorted-block contract."""
+  from hybridbackend_tpu.ops.pallas.scatter import (
+      _pack_expand, adagrad_update_sorted)
   order = jnp.argsort(rows)
+  rows = rows[order]
+  g = g[order]
+  if pack_p > 1:
+    rows, g = _pack_expand(rows, g.astype(table.dtype), pack_p)
   interpret = jax.default_backend() != 'tpu'
   kwargs = _stream_kwargs(table, rows)
-  return adagrad_update_sorted(table, acc, rows[order], g[order],
+  return adagrad_update_sorted(table, acc, rows, g,
                                lr=lr, eps=float(eps),
                                interpret=interpret, **kwargs)
 
@@ -427,21 +448,21 @@ def _sgd_rows(table, rows, gsum, lr):
   return table.at[rows].add(-lr * gsum, mode='drop')
 
 
-def _maybe_lane_pack(rows_b, demb, config: TableConfig, ctx):
+def _maybe_lane_pack(rows_b, demb, config: TableConfig, table, p: int):
   """Map (logical rows, [N, d] grads) into a lane-packed table's space:
   packed rows ``r//p`` and grads expanded into lane slice ``(r%p)·d``
-  (see ``TableConfig.pack_factor`` / ``emb_lane_pack``). Returns the
+  (see ``TableConfig.pack_of`` / ``emb_lane_pack``). Returns the
   possibly-updated ``(rows, grads, config)`` — downstream code then
-  operates on the PHYSICAL [V/p, 128] geometry uniformly. Exact for
-  add/adagrad: logical rows sharing a packed row occupy disjoint
+  operates on the PHYSICAL [V/p, 128] geometry uniformly (vocab taken
+  from the concrete array: the layout is creation-time-fixed). Exact
+  for add/adagrad: logical rows sharing a packed row occupy disjoint
   lanes."""
-  p = config.pack_factor(ctx)
   if p <= 1:
     return rows_b, demb, config
   import dataclasses as _dc
   from hybridbackend_tpu.ops.pallas.scatter import _pack_expand
   rows_b, demb = _pack_expand(rows_b, demb, p)
-  pcfg = _dc.replace(config, vocab_size=config.padded_vocab(ctx) // p,
+  pcfg = _dc.replace(config, vocab_size=int(table.shape[0]),
                      dim=p * config.dim, shuffle_ids=False,
                      lane_pack=False, initializer=None)
   return rows_b, demb, pcfg
@@ -469,11 +490,23 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
     impl: 'xla' | 'stream' | 'auto' (see option ``emb_update_impl``).
   """
   ctx = ctx or Context.get()
-  if not dedup and _use_stream(impl):
+  stream = _use_stream(impl)
+  if not dedup and stream:
     _warn_nodedup_ignored()
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
-  rows_b, demb, config = _maybe_lane_pack(rows_b, demb, config, ctx)
+  # Replicated stream path: keep the NARROW geometry through the
+  # all_gather and the sort — _stream_adagrad expands after sorting
+  # (8x less gather/wire traffic at d=16; see its docstring). The
+  # sharded/XLA paths expand eagerly, operating in physical geometry.
+  # The pack factor follows the CONCRETE array (pack_of), not ctx: a
+  # serving/restore context must not re-decide the layout.
+  pack_p = config.pack_of(table)
+  defer_pack = pack_p > 1 and stream and not config.should_shard(ctx)
+  if not defer_pack:
+    rows_b, demb, config = _maybe_lane_pack(rows_b, demb, config, table,
+                                            pack_p)
+    pack_p = 1
   rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
   acc = state.acc[0]
 
@@ -490,8 +523,9 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
           body, mesh=ctx.mesh,
           in_specs=(P(ctx.data_axes), P(ctx.data_axes, None)),
           out_specs=(P(), P()), check_vma=False)(rows_b, demb)
-    if _use_stream(impl):
-      table, acc = _stream_adagrad(table, acc, rows_b, demb, lr, eps)
+    if stream:
+      table, acc = _stream_adagrad(table, acc, rows_b, demb, lr, eps,
+                                   pack_p=pack_p)
     elif dedup:
       rows, gsum = _dedup_grads(rows_b, demb, oob_row=table.shape[0])
       table, acc = _adagrad_rows(table, acc, rows, gsum, lr, eps)
@@ -551,13 +585,19 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
   return table, SparseOptState(acc=(acc,))
 
 
-def _stream_sgd(table, rows, g, lr):
+def _stream_sgd(table, rows, g, lr, pack_p: int = 1):
   # lr scales the payload, so traced learning rates work by construction.
-  from hybridbackend_tpu.ops.pallas.scatter import scatter_add_sorted
+  # pack_p > 1: sort narrow, expand after (see _stream_adagrad).
+  from hybridbackend_tpu.ops.pallas.scatter import (
+      _pack_expand, scatter_add_sorted)
   order = jnp.argsort(rows)
+  rows = rows[order]
+  g = (-lr) * g[order]
+  if pack_p > 1:
+    rows, g = _pack_expand(rows, g.astype(table.dtype), pack_p)
   interpret = jax.default_backend() != 'tpu'
   kwargs = _stream_kwargs(table, rows)
-  return scatter_add_sorted(table, rows[order], (-lr) * g[order],
+  return scatter_add_sorted(table, rows, g,
                             interpret=interpret, **kwargs)
 
 
@@ -567,9 +607,15 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
                      ctx: Optional[Context] = None) -> jax.Array:
   """SGD on touched rows only (no slot state)."""
   ctx = ctx or Context.get()
+  stream = _use_stream(impl)
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
-  rows_b, demb, config = _maybe_lane_pack(rows_b, demb, config, ctx)
+  pack_p = config.pack_of(table)
+  defer_pack = pack_p > 1 and stream and not config.should_shard(ctx)
+  if not defer_pack:
+    rows_b, demb, config = _maybe_lane_pack(rows_b, demb, config, table,
+                                            pack_p)
+    pack_p = 1
   rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
 
   if not config.should_shard(ctx):
@@ -581,8 +627,8 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
           gather, mesh=ctx.mesh,
           in_specs=(P(ctx.data_axes), P(ctx.data_axes, None)),
           out_specs=(P(), P()), check_vma=False)(rows_b, demb)
-    if _use_stream(impl):
-      return _stream_sgd(table, rows_b, demb, lr)
+    if stream:
+      return _stream_sgd(table, rows_b, demb, lr, pack_p=pack_p)
     oob = table.shape[0]
     safe = jnp.where((rows_b >= 0) & (rows_b < oob), rows_b, oob)
     return table.at[safe].add(-lr * demb, mode='drop')
@@ -628,6 +674,7 @@ def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
   kwargs = _stream_kwargs(table, rows)
+  kwargs.pop('dma_chunk', None)  # adam kernel: per-chunk DMAs only
   return adam_update_sorted(table, m, v, rows[order], g[order],
                             lr=lr, step=step, b1=float(b1), b2=float(b2),
                             eps=float(eps), interpret=interpret, **kwargs)
@@ -659,7 +706,7 @@ def sparse_adam_apply(table: jax.Array, state: SparseOptState,
   cover its tutorial configurations.
   """
   ctx = ctx or Context.get()
-  if config.pack_factor(ctx) > 1:
+  if config.pack_of(table) > 1:
     raise ValueError(
         f'table {config.name!r}: lane packing is incompatible with '
         'LazyAdam (per-row presence would decay neighboring logical '

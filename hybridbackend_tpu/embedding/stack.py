@@ -144,9 +144,10 @@ def member_tables(stack: TableStack, stacked: jax.Array,
   ctx = ctx or Context.get()
   vocab = stack.stacked.padded_vocab(ctx)
   host = np.asarray(stacked)
-  if stack.stacked.pack_factor(ctx) > 1:
+  if stack.stacked.pack_of(stacked) > 1:
     # Lane-packed physical layout: free row-major unpack on the host.
-    host = host.reshape(vocab, stack.stacked.dim)
+    host = host.reshape(-1, stack.stacked.dim)
+    vocab = host.shape[0]
   if stack.stacked.shuffle_ids:
     # Solo shuffled stack: logical row r lives at mix(r) — invert by
     # gathering the mixed positions back into logical order.

@@ -144,6 +144,23 @@ class TableConfig:
         want = ctx.world_size == 1
     return 128 // self.dim if want else 1
 
+  def pack_of(self, table) -> int:
+    """PHYSICAL lane-pack factor of a concrete table array.
+
+    Derived from the array's minor dim, NOT from ctx: the layout is
+    fixed at creation time, and a later context with a different world
+    size (e.g. a single-chip serving trace of weights trained unpacked
+    on an 8-device mesh) must follow the array, not re-decide
+    ``pack_factor``'s auto policy."""
+    w = int(table.shape[-1])
+    if w == self.dim:
+      return 1
+    if self.dim < 128 and 128 % self.dim == 0 and w == 128:
+      return 128 // self.dim
+    raise ValueError(
+        f'table {self.name!r}: physical width {w} matches neither '
+        f'dim={self.dim} nor its 128-lane packing')
+
   def padded_vocab(self, ctx: Optional[Context] = None) -> int:
     """Vocab rounded up so every shard holds the same number of rows
     (and, when lane-packed, so packed rows split evenly too)."""

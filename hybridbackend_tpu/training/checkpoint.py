@@ -57,18 +57,66 @@ class CheckpointManager:
               step: Optional[int] = None) -> Any:
     """Restore into the template's shardings (possibly a different world
     size than the save — global shapes make this transparent). Missing
-    keys keep the template's (freshly initialized) values."""
+    keys keep the template's (freshly initialized) values.
+
+    Layout-tolerant: a lane-packed table saved as ``[V/p, 128]`` and a
+    template expecting ``[V, d]`` (or vice versa — the auto pack policy
+    depends on world size, see ``TableConfig.pack_factor``) hold
+    identical row-major bytes, so equal-size 2D leaves are restored in
+    their STORED shape and reshaped into the template's."""
     if step is None:
       step = self._mgr.latest_step()
     if step is None:
       return state_template
+    template = self._reshape_template(state_template, step)
     restored = self._mgr.restore(
-        step, args=ocp.args.StandardRestore(state_template))
+        step, args=ocp.args.StandardRestore(template))
+    restored = self._reshape_restored(restored, state_template)
     # Re-commit to the context mesh: restoring through a template whose
     # leaves were never mesh-placed yields single-device arrays that
     # clash with mesh-sharded batches under jit.
     from hybridbackend_tpu.training.train import replicate_over_mesh
     return replicate_over_mesh(restored)
+
+  def _reshape_template(self, state_template: Any, step: int) -> Any:
+    """Swap equal-size shape-mismatched leaves for their stored shapes
+    (no-op when everything matches, or when metadata can't be aligned
+    — e.g. the template has extra keys the save lacks)."""
+    import numpy as np
+    try:
+      meta = self._mgr.item_metadata(step)
+      # Orbax wraps the metadata tree in its own custom node, so align
+      # by flattened KEY PATH rather than tree structure (extra template
+      # keys — the missing-key fallback — simply find no stored shape).
+      stored = {jax.tree_util.keystr(p): tuple(m.shape)
+                for p, m in jax.tree_util.tree_flatten_with_path(meta)[0]
+                if getattr(m, 'shape', None) is not None}
+
+      def _align(path, t):
+        ts = tuple(getattr(t, 'shape', ()) or ())
+        ms = stored.get(jax.tree_util.keystr(path))
+        if ts and ms and ts != ms and np.prod(ms) == np.prod(ts):
+          return jax.ShapeDtypeStruct(ms, t.dtype)
+        return t
+
+      return jax.tree_util.tree_map_with_path(_align, state_template)
+    except Exception:  # noqa: BLE001 — metadata probing is best-effort
+      return state_template
+
+  @staticmethod
+  def _reshape_restored(restored: Any, state_template: Any) -> Any:
+    """Reshape stored-layout leaves back into the template's shape and
+    sharding (row-major reshape = the pack/unpack bijection)."""
+
+    def _back(r, t):
+      tshape = tuple(getattr(t, 'shape', ()) or ())
+      if tshape and tuple(r.shape) != tshape:
+        r = r.reshape(tshape)
+        if hasattr(t, 'sharding'):
+          r = jax.device_put(r, t.sharding)
+      return r
+
+    return jax.tree_util.tree_map(_back, restored, state_template)
 
   def all_steps(self):
     return self._mgr.all_steps()

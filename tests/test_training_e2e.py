@@ -180,6 +180,30 @@ class TestCheckpoint:
       assert len(restored.params['tables']['cat0'].sharding.device_set) == 8
       mgr.close()
 
+  def test_restore_across_lane_pack_layouts(self):
+    # A lane-packed table saved as [V/p, 128] restores into an
+    # unpacked [V, d] template (and vice versa): the auto pack policy
+    # depends on world size, but the row-major bytes are identical.
+    rng = np.random.RandomState(7)
+    packed = jnp.asarray(rng.randn(32, 128).astype(np.float32))
+    with tempfile.TemporaryDirectory() as d:
+      mgr = CheckpointManager(d)
+      mgr.save(1, {'t': packed, 'x': jnp.ones((4,))})
+      template = {'t': jnp.zeros((256, 16)), 'x': jnp.zeros((4,))}
+      out = mgr.restore(template)
+      assert out['t'].shape == (256, 16)
+      np.testing.assert_array_equal(
+          np.asarray(out['t']), np.asarray(packed).reshape(256, 16))
+      mgr.close()
+    # Reverse direction: unpacked save, packed template.
+    with tempfile.TemporaryDirectory() as d:
+      mgr = CheckpointManager(d)
+      mgr.save(1, {'t': packed.reshape(256, 16)})
+      out = mgr.restore({'t': jnp.zeros((32, 128))})
+      np.testing.assert_array_equal(np.asarray(out['t']),
+                                    np.asarray(packed))
+      mgr.close()
+
   def test_restore_without_checkpoint_returns_template(self):
     with tempfile.TemporaryDirectory() as d:
       mgr = CheckpointManager(d)
