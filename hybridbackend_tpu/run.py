@@ -122,6 +122,16 @@ def main():
 
   # Child (or direct) execution path.
   if 'HB_RUN_PROCESS_ID' in os.environ:
+    # All children share the parent's stdout fd. When that fd is a pipe
+    # (CI capture), the default BLOCK buffering flushes at arbitrary
+    # byte boundaries, so two ranks' log lines can interleave mid-line.
+    # Line buffering makes each complete line one write(2) — atomic on
+    # pipes up to PIPE_BUF — so per-rank lines stay intact.
+    try:
+      sys.stdout.reconfigure(line_buffering=True)
+      sys.stderr.reconfigure(line_buffering=True)
+    except (AttributeError, ValueError):  # non-standard stream objects
+      pass
     # Liveness instrumentation: a wedged child must self-report. SIGUSR2
     # dumps all thread stacks on demand; HB_RUN_FAULT_TIMEOUT=<seconds>
     # dumps-and-exits if the child is still alive after the deadline

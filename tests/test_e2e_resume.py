@@ -127,11 +127,11 @@ def _launch(script, env_extra, tmp_path, timeout=420):
 
 
 def _digests(stdout):
+  import re
   out = {}
-  for line in stdout.splitlines():
-    if line.startswith('FINAL '):
-      _, rank, step, digest = line.split()
-      out[int(rank)] = (int(step), digest)
+  for m in re.finditer(r'^FINAL (\d+) (\d+) ([0-9a-f]+)$', stdout,
+                       re.MULTILINE):
+    out[int(m.group(1))] = (int(m.group(2)), m.group(3))
   return out
 
 
