@@ -22,7 +22,7 @@ scatter).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -194,6 +194,74 @@ def _stream_adagrad(table, acc, rows, g, lr, eps, pack_p: int = 1):
   kwargs = _stream_kwargs(table, rows)
   return adagrad_update_sorted(table, acc, rows, g,
                                lr=lr, eps=float(eps),
+                               interpret=interpret, **kwargs)
+
+
+def _segment_sorted(ids2d, demb, segments):
+  """Per-member-segment sort of a stacked ``[B, K]`` id block.
+
+  A stacked update list is member segments with disjoint ASCENDING row
+  ranges (``stack.offsets``), so concatenating per-segment sorted runs
+  is globally sorted — and K batched argsorts of B keys are markedly
+  cheaper than one argsort of K·B (bitonic stage count grows with
+  log²n, and every stage touches all the data).
+
+  Args:
+    ids2d: ``[B, K]`` stacked ids (``pack_ids`` layout).
+    demb: ``[B, K, D]`` per-id gradients.
+    segments: static ``((col0, col1, row_hi), ...)`` from
+      :func:`~hybridbackend_tpu.embedding.stack.update_segments`,
+      ranges ascending in layout order.
+
+  Returns ``(rows [B·K], block_ids [B·K], g [B·K, D])``: ``rows`` is
+  per-segment sorted with ``-1`` holes at invalid lanes (the stream
+  kernel drops them), ``block_ids`` replaces those holes with the
+  segment's ``row_hi`` so the block-range searchsorted key stays
+  globally non-decreasing.
+  """
+  d = demb.shape[-1]
+  nseg = len(segments)
+  rows_parts = [None] * nseg
+  key_parts = [None] * nseg
+  g_parts = [None] * nseg
+  by_width: Dict[int, list] = {}
+  for i, (c0, c1, _hi) in enumerate(segments):
+    by_width.setdefault(c1 - c0, []).append(i)
+  for w, idxs in by_width.items():
+    ids_g = jnp.stack([ids2d[:, segments[i][0]:segments[i][1]]
+                       .reshape(-1) for i in idxs])          # [n, w·B]
+    g_g = jnp.stack([demb[:, segments[i][0]:segments[i][1]]
+                     .reshape(-1, d) for i in idxs])         # [n, w·B, D]
+    hi = jnp.asarray([segments[i][2] for i in idxs],
+                     ids_g.dtype)[:, None]
+    valid = (ids_g >= 0) & (ids_g < hi)
+    keys = jnp.where(valid, ids_g, hi)
+    order = jnp.argsort(keys, axis=-1)
+    skeys = jnp.take_along_axis(keys, order, axis=-1)
+    srows = jnp.take_along_axis(jnp.where(valid, ids_g, -1), order,
+                                axis=-1)
+    sg = jnp.take_along_axis(g_g, order[..., None], axis=1)
+    for j, i in enumerate(idxs):
+      rows_parts[i], key_parts[i], g_parts[i] = srows[j], skeys[j], sg[j]
+  return (jnp.concatenate(rows_parts), jnp.concatenate(key_parts),
+          jnp.concatenate(g_parts))
+
+
+def _stream_adagrad_presorted(table, acc, rows, block_ids, g, lr, eps,
+                              pack_p: int = 1):
+  """:func:`_stream_adagrad` minus the global argsort: ``rows`` arrive
+  per-segment sorted (with ``-1`` holes) and ``block_ids`` carries the
+  monotone searchsorted key (see :func:`_segment_sorted`)."""
+  from hybridbackend_tpu.ops.pallas.scatter import (
+      _pack_expand, _pack_ids, adagrad_update_sorted)
+  if pack_p > 1:
+    rows, g = _pack_expand(rows, g.astype(table.dtype), pack_p)
+    block_ids = _pack_ids(block_ids, pack_p)
+  interpret = jax.default_backend() != 'tpu'
+  kwargs = _stream_kwargs(table, rows)
+  return adagrad_update_sorted(table, acc, rows, g,
+                               lr=lr, eps=float(eps),
+                               block_ids=block_ids,
                                interpret=interpret, **kwargs)
 
 
@@ -474,7 +542,9 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
                          eps: float = 1e-7,
                          dedup: bool = True,
                          impl: str = 'auto',
-                         ctx: Optional[Context] = None
+                         ctx: Optional[Context] = None,
+                         segments: Optional[Tuple[Tuple[int, int, int],
+                                                  ...]] = None
                          ) -> Tuple[jax.Array, SparseOptState]:
   """Adagrad on touched rows only.
 
@@ -488,11 +558,46 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
       skipped — markedly faster for large batches. Ignored by the
       stream impl, which always combines exactly (free in its matmul).
     impl: 'xla' | 'stream' | 'auto' (see option ``emb_update_impl``).
+    segments: static stacked-id segment bounds from
+      :func:`~hybridbackend_tpu.embedding.stack.update_segments` when
+      ``ids`` is a ``pack_ids`` ``[B, K]`` block. Enables the
+      per-segment sort (K batched argsorts of B instead of one of
+      K·B) on the replicated single-process stream path; ignored —
+      exactness unchanged — whenever that path does not apply.
   """
   ctx = ctx or Context.get()
   stream = _use_stream(impl)
   if not dedup and stream:
     _warn_nodedup_ignored()
+  if (segments is not None and stream and ids.ndim == 2
+      and not config.shuffle_ids and not config.should_shard(ctx)):
+    demb3 = demb.reshape(*ids.shape, demb.shape[-1]).astype(table.dtype)
+    if ctx.world_size > 1:
+      # Replicated table, multi-device batch: gather the 2D id block
+      # and 3D grads (same wire bytes as the flat path), THEN segment-
+      # sort the global block — per-device pre-sorts would not
+      # concatenate into a sorted list.
+      b = ids.shape[0]
+      if b % ctx.world_size:
+        pb = -(-b // ctx.world_size) * ctx.world_size
+        ids = jnp.concatenate(
+            [ids, jnp.full((pb - b,) + ids.shape[1:], -1, ids.dtype)])
+        demb3 = jnp.concatenate(
+            [demb3, jnp.zeros((pb - b,) + demb3.shape[1:], demb3.dtype)])
+
+      def gather2(i, g):
+        return (jax.lax.all_gather(i, ctx.data_axes, tiled=True),
+                jax.lax.all_gather(g, ctx.data_axes, tiled=True))
+
+      ids, demb3 = jax.shard_map(
+          gather2, mesh=ctx.mesh,
+          in_specs=(P(ctx.data_axes, None), P(ctx.data_axes, None, None)),
+          out_specs=(P(), P()), check_vma=False)(ids, demb3)
+    rows_s, block_ids, g_s = _segment_sorted(ids, demb3, segments)
+    table, acc = _stream_adagrad_presorted(
+        table, state.acc[0], rows_s, block_ids, g_s, lr, eps,
+        pack_p=config.pack_of(table))
+    return table, SparseOptState(acc=(acc,))
   rows_b = config.row_index(ids.reshape(-1), ctx)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
   # Replicated stream path: keep the NARROW geometry through the

@@ -144,7 +144,7 @@ def make_interleaved_train_step(
     table_opt = dict(state.table_opt)
     for name in (draw_k or {}):
       stack = stacks_by_name[name]
-      ids, _ = pack_ids(stack, member_full[name])            # [B, K]
+      ids, layout = pack_ids(stack, member_full[name])       # [B, K]
       if draws is None:
         demb = draw_k[name] * scale
       else:
@@ -155,9 +155,11 @@ def make_interleaved_train_step(
             tables[name], table_opt[name], ids, demb, stack.stacked,
             table_lr, step=state.step + 1, ctx=ctx)
       else:
+        from hybridbackend_tpu.embedding.stack import update_segments
         tables[name], table_opt[name] = sparse_adagrad_apply(
             tables[name], table_opt[name], ids, demb, stack.stacked,
-            table_lr, ctx=ctx)
+            table_lr, ctx=ctx,
+            segments=update_segments(stack, layout))
 
     new_state = SparseTrainState(
         step=state.step + 1, dense=dense, tables=tables,

@@ -181,9 +181,11 @@ def make_sparse_train_step(
             tables[name], table_opt[name], ids_by_stack[name], demb,
             stack.stacked, table_lr, step=state.step + 1, ctx=ctx)
       else:
+        from hybridbackend_tpu.embedding.stack import update_segments
         tables[name], table_opt[name] = sparse_adagrad_apply(
             tables[name], table_opt[name], ids_by_stack[name], demb,
-            stack.stacked, table_lr, dedup=table_dedup, ctx=ctx)
+            stack.stacked, table_lr, dedup=table_dedup, ctx=ctx,
+            segments=update_segments(stack, layouts[name]))
 
     new_state = SparseTrainState(
         step=state.step + 1, dense=dense, tables=tables,

@@ -705,3 +705,109 @@ def test_touched_blocks_auto_end_to_end():
                              atol=1e-6)
   np.testing.assert_allclose(np.asarray(got_s.acc[0]), want_a,
                              rtol=1e-4, atol=1e-6)
+
+
+class TestSegmentSortedUpdate:
+  """Per-segment sorted stacked updates (``segments=``): K batched
+  argsorts of B replace one argsort of K·B on the replicated stream
+  path — must be numerically identical to the global-sort path."""
+
+  def _compare(self, ids2d, segments, vocab, seed=11):
+    import hybridbackend_tpu as hb
+    cfg = TableConfig('seg', vocab, DIM, sharded=False)
+    table = create_table(cfg, jax.random.PRNGKey(3))
+    state = init_adagrad_state(table, 0.1)
+    rng = np.random.RandomState(seed)
+    demb = jnp.asarray(
+        rng.randn(*ids2d.shape, DIM).astype(np.float32))
+    with hb.scope(emb_update_impl='stream'):
+      t_ref, s_ref = sparse_adagrad_apply(
+          table, state, ids2d, demb, cfg, 0.1)
+      t_seg, s_seg = sparse_adagrad_apply(
+          table, state, ids2d, demb, cfg, 0.1, segments=segments)
+    np.testing.assert_allclose(np.asarray(t_seg), np.asarray(t_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_seg.acc[0]),
+                               np.asarray(s_ref.acc[0]), rtol=1e-4,
+                               atol=1e-5)
+
+  def test_width1_segments_with_invalid_and_duplicates(self):
+    rng = np.random.RandomState(5)
+    k, seg_v = 3, VOCAB
+    cols = []
+    for t in range(k):
+      col = t * seg_v + rng.randint(0, seg_v, (BATCH, 1))
+      cols.append(col)
+    ids = np.concatenate(cols, axis=1)
+    ids[::7, 0] = -1                       # invalid holes mid-segment
+    ids[1, 1] = ids[2, 1]                  # duplicates
+    segments = tuple((t, t + 1, (t + 1) * seg_v) for t in range(k))
+    self._compare(jnp.asarray(ids, jnp.int32), segments, k * seg_v)
+
+  def test_multi_width_segments(self):
+    rng = np.random.RandomState(6)
+    seg_v = VOCAB
+    c0 = rng.randint(0, seg_v, (BATCH, 1))
+    c12 = seg_v + rng.randint(0, seg_v, (BATCH, 2))   # width-2 member
+    c3 = 2 * seg_v + rng.randint(0, seg_v, (BATCH, 1))
+    ids = np.concatenate([c0, c12, c3], axis=1)
+    ids[3, 2] = -1
+    segments = ((0, 1, seg_v), (1, 3, 2 * seg_v), (3, 4, 3 * seg_v))
+    self._compare(jnp.asarray(ids, jnp.int32), segments, 3 * seg_v)
+
+  def test_segment_sorted_contract(self):
+    """rows: -1 holes at invalid lanes; block_ids: globally
+    non-decreasing with holes mapped to the segment's row_hi."""
+    from hybridbackend_tpu.embedding.sparse_update import _segment_sorted
+    rng = np.random.RandomState(7)
+    seg_v = 16
+    ids = np.concatenate(
+        [t * seg_v + rng.randint(0, seg_v, (8, 1)) for t in range(3)],
+        axis=1)
+    ids[0, 0] = -1
+    ids[4, 2] = -1
+    segments = tuple((t, t + 1, (t + 1) * seg_v) for t in range(3))
+    g = jnp.asarray(rng.randn(8, 3, DIM).astype(np.float32))
+    rows, block_ids, gs = _segment_sorted(
+        jnp.asarray(ids, jnp.int32), g, segments)
+    bi = np.asarray(block_ids)
+    assert (np.diff(bi) >= 0).all(), bi
+    r = np.asarray(rows)
+    assert (r[bi == 16] == -1).sum() == 1    # seg-0 hole at its hi
+    assert (r >= -1).all() and (r[r >= 0] < 48).all()
+    # grads rode along with their ids
+    valid = r >= 0
+    assert np.asarray(gs).shape == (24, DIM)
+
+  def test_train_step_uses_segments_and_matches_xla(self):
+    """The sparse train step (which now passes segments=) must match
+    the XLA-update step exactly enough."""
+    import hybridbackend_tpu as hb
+    specs = [EmbeddingSpec(TableConfig(f't{i}', VOCAB, DIM,
+                                       sharded=False))
+             for i in range(3)]
+    fx = StackedFeatureExtractor(specs)
+    rng = np.random.RandomState(9)
+    batch = {f't{i}': jnp.asarray(
+        rng.randint(0, VOCAB, (BATCH,)), jnp.int32) for i in range(3)}
+    batch['label'] = jnp.asarray(rng.rand(BATCH).astype(np.float32))
+
+    def loss_fn(dense, feats, dense_feats, b):
+      pred = sum(f.sum(-1) for f in feats)
+      return jnp.mean((pred - b['label']) ** 2), {}
+
+    def make(impl):
+      with hb.scope(emb_update_impl=impl):
+        tables = fx.init(jax.random.PRNGKey(0))
+        opt = optax.sgd(0.01)
+        state = SparseTrainState.create({}, tables, opt)
+        step = make_sparse_train_step(fx, loss_fn, opt, table_lr=0.1)
+        out, _ = step(state, batch)
+      return out
+
+    s_stream = make('stream')
+    s_xla = make('xla')
+    for name in s_stream.tables:
+      np.testing.assert_allclose(
+          np.asarray(s_stream.tables[name]),
+          np.asarray(s_xla.tables[name]), rtol=1e-4, atol=1e-5)
