@@ -89,6 +89,22 @@ def main():
 
   cases['segsort'] = segsort_body
 
+  def pathseg_body(carry, _):
+    # Full update path with the landed segment-sort fast path: 26
+    # batched argsorts of 8192 + presorted kernel (block_ids monotone).
+    from hybridbackend_tpu.embedding.sparse_update import (
+        _segment_sorted, _stream_adagrad_presorted)
+    t, a, i = carry
+    ids2d = shift_ids(i).reshape(TABLES, B).T          # [B, K]
+    g = (g0 * (1.0 + 1e-6 * i)).reshape(TABLES, B, D).transpose(1, 0, 2)
+    segments = tuple((k, k + 1, (k + 1) * SEG_V) for k in range(TABLES))
+    rows, block_ids, gs = _segment_sorted(ids2d, g, segments)
+    t, a = _stream_adagrad_presorted(t, a, rows, block_ids, gs,
+                                     0.01, 1e-7, pack_p=P)
+    return (t, a, i + 1), ()
+
+  cases['pathseg'] = pathseg_body
+
   def path_body(new):
     def body(carry, _):
       t, a, i = carry
@@ -104,9 +120,10 @@ def main():
 
   results = []
   for name in (args.cases or ['sortn', 'sortw', 'segsort',
-                              'pathnew', 'pathold']):
+                              'pathnew', 'pathseg', 'pathold']):
     if name.startswith('path'):
-      body = path_body(name == 'pathnew')
+      body = cases['pathseg'] if name == 'pathseg' else \
+          path_body(name == 'pathnew')
       carry0 = (table0, acc0, jnp.float32(0.0))
       read = lambda c: c[0][0, 0] + c[1][0, 0]
     else:
