@@ -91,17 +91,29 @@ def _kv_exchange(client, sid: int, step: int, rank: int, world: int,
   total_ms = int(OPTIONS['data_sync_timeout_ms'])
   slice_ms = min(2_000, total_ms)
   any_d, all_d, mx = False, True, 0
+  import time
   for r in range(world):
-    waited = 0
+    t0 = time.monotonic()
     while True:
       if cancel is not None and cancel.is_set():
         raise SyncCancelled()
       try:
         raw = client.blocking_key_value_get(f'{base}/{r}', slice_ms)
         break
-      except jax.errors.JaxRuntimeError:
-        waited += slice_ms
-        if waited >= total_ms:
+      except jax.errors.JaxRuntimeError as e:
+        # Only a timed-out get means "keep waiting". Any other failure
+        # (coordination service shut down, connection refused) would
+        # otherwise busy-loop failing RPCs and then misreport the peer
+        # as stalled — surface the real cause instead.
+        msg = str(e)
+        if not ('DEADLINE_EXCEEDED' in msg or 'deadline' in msg.lower()
+                or 'timeout' in msg.lower() or 'timed out' in msg.lower()):
+          raise RuntimeError(
+              f'SyncReplicasIterator: coordination-service get for key '
+              f'{base}/{r} failed (this is rank {rank}): {msg}') from e
+        # Wall clock, not slice count: a get that errors out early must
+        # not burn through the budget faster than real time.
+        if (time.monotonic() - t0) * 1000 >= total_ms:
           raise RuntimeError(
               f'SyncReplicasIterator: replica {r} did not reach sync '
               f'step {step} within {total_ms} ms (this is rank {rank}; '

@@ -125,15 +125,22 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
     oh = (lane[..., None] == jnp.arange(p, dtype=jnp.int32)
           ).astype(wide.dtype)
     wide = wide.reshape(*rows.shape, p, config.dim)
-    return (wide * oh[..., None]).sum(-2)
+    out = (wide * oh[..., None]).sum(-2)
+    # Validity is a LOGICAL-id property: row mixing spreads ids over the
+    # whole pow2-padded physical range, so an out-of-vocab id can land
+    # on a real packed row — mask on the pre-mix id, not the row.
+    valid = (ids >= 0) & (ids < config.vocab_size)
+    return jnp.where(valid[..., None], out, 0)
 
   if not config.should_shard(ctx):
     # Replicated path honors the same contract as every sharded
     # strategy: out-of-range/negative ids (padding lanes, unadmitted
     # dynamic ids) read as zeros — plain jnp.take would wrap -1 to the
-    # LAST row numpy-style.
+    # LAST row numpy-style. Validity is checked on the LOGICAL id: for
+    # shuffle_ids tables the mixed row of a valid id may land anywhere
+    # in [0, padded_vocab), including >= vocab_size.
     out = jnp.take(table, rows, axis=0, mode='fill', fill_value=0)
-    valid = (rows >= 0) & (rows < config.vocab_size)
+    valid = (ids >= 0) & (ids < config.vocab_size)
     return jnp.where(valid[..., None], out, 0)
 
   # Per-table strategy via the '*'-wildcard dict scope (the reference's

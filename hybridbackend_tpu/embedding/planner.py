@@ -64,17 +64,19 @@ def _ring(w):
   return (w - 1) / max(w, 1)
 
 
-def _phys_row_bytes(d: int) -> int:
+def _phys_row_bytes(d: int, packed: bool = False) -> int:
   """PHYSICAL bytes per table row: XLA tiles f32 minor dims to 128
   lanes, so an unpacked narrow row occupies ceil(d/128)*128 floats.
   Lane-packed tables (``emb_lane_pack``, 128 % d == 0) store at
-  logical density."""
-  if d < 128 and 128 % d == 0:
-    return d * 4            # packable -> logical density
+  logical density — but the 'auto' policy packs only single-chip
+  tables, so multi-chip plans must assume ``packed`` only when the
+  config forces ``lane_pack=True``."""
+  if packed and d < 128 and 128 % d == 0:
+    return d * 4            # lane-packed -> logical density
   return ((d + 127) // 128) * 128 * 4
 
 
-def _cost_replicated(v, d, b, w=1):
+def _cost_replicated(v, d, b, w=1, packed=False):
   # Backward is whichever collective the runtime would pick: the sparse
   # (rows, grads) all-gather scales with the batch, the dense [V, D]
   # gradient all-reduce with the table — a genuinely tiny table rides
@@ -82,28 +84,28 @@ def _cost_replicated(v, d, b, w=1):
   f = _ring(w)
   sparse_bwd = f * b * (d + 1) * 4
   dense_bwd = 2 * f * v * d * 4
-  return v * _phys_row_bytes(d), int(min(sparse_bwd, dense_bwd))
+  return v * _phys_row_bytes(d, packed), int(min(sparse_bwd, dense_bwd))
 
 
-def _cost_row_allgather(v, d, b, w, u, slack):
+def _cost_row_allgather(v, d, b, w, u, slack, packed=False):
   f = _ring(w)
   fwd = f * (b * 4 + b * d * 4)        # ids all-gather + reduce-scatter
   bwd = f * b * d * 4                  # cotangent all-gather
   upd = 2 * f * slack * u * (b / max(w, 1)) * (d + 1) * 4
-  return v * _phys_row_bytes(d) // w, int(fwd + bwd + upd)
+  return v * _phys_row_bytes(d, packed) // w, int(fwd + bwd + upd)
 
 
-def _cost_row_alltoall(v, d, b, w, u, slack):
+def _cost_row_alltoall(v, d, b, w, u, slack, packed=False):
   f = _ring(w)
   # One exchange = ids out + payload back = (D+1) elements per row.
   per_xchg = f * slack * max(1.0, u * b / max(w, 1)) * (d + 1) * 4
-  return v * _phys_row_bytes(d) // w, int(2 * per_xchg)  # forward + gradient
+  return v * _phys_row_bytes(d, packed) // w, int(2 * per_xchg)  # fwd + grad
 
 
-def _cost_column(v, d, b, w):
+def _cost_column(v, d, b, w, packed=False):
   f = _ring(w)
   fwd = f * (b * 4 + b * d * 4)
-  return v * _phys_row_bytes(d) // w, int(2 * fwd)
+  return v * _phys_row_bytes(d, packed) // w, int(2 * fwd)
 
 
 def plan_sharding(configs: Sequence,
@@ -156,24 +158,28 @@ def plan_sharding(configs: Sequence,
     v, d = cfg.vocab_size, cfg.dim
     b = int(global_batch_ids.get(cfg.name, 0)) or 1
     u = float(uniq.get(cfg.name, 1.0))
+    # The 'auto' lane-pack policy packs only single-chip tables; a
+    # multi-chip plan counts a narrow table at logical density only
+    # when the config FORCES packing.
+    packed = (w <= 1) or getattr(cfg, 'lane_pack', None) is True
     if w <= 1:
       plans[cfg.name] = TablePlan(False, 'row', 'allgather',
-                                  v * d * 4, 0)
+                                  v * _phys_row_bytes(d, packed), 0)
       continue
     candidates = {}
-    mem, comm = _cost_replicated(v, d, b, w)
+    mem, comm = _cost_replicated(v, d, b, w, packed)
     over_budget = (replicated_budget is not None
                    and mem > replicated_budget)
     if not over_budget:
       candidates[('replicated', 'row', 'allgather')] = (
           mem, comm + 1 * HOP)
-    mem, comm = _cost_row_allgather(v, d, b, w, u, bucket_slack)
+    mem, comm = _cost_row_allgather(v, d, b, w, u, bucket_slack, packed)
     candidates[('sharded', 'row', 'allgather')] = (mem, comm + 4 * HOP)
     # alltoallv = sizes + ids + sizes + payload each way ≈ 8 launches.
-    mem, comm = _cost_row_alltoall(v, d, b, w, u, bucket_slack)
+    mem, comm = _cost_row_alltoall(v, d, b, w, u, bucket_slack, packed)
     candidates[('sharded', 'row', 'alltoall')] = (mem, comm + 8 * HOP)
     if d >= column_min_dim:
-      mem, comm = _cost_column(v, d, b, w)
+      mem, comm = _cost_column(v, d, b, w, packed)
       candidates[('sharded', 'column', 'allgather')] = (
           mem, comm + 3 * HOP)
     (kind, part, strat), (mem, comm) = min(

@@ -382,8 +382,14 @@ class CacheRunner:
             continue
           for s, i in zip(plan.evict_slots.tolist(),
                           plan.evict_ids.tolist()):
-            if s not in seen_slots:
-              seen_slots.add(s)
+            first_evict_of_slot = s not in seen_slots
+            seen_slots.add(s)
+            # Only an id's FIRST pending eviction names a slot whose
+            # rows it still owns in the arrays. A later eviction of the
+            # same id (evict → re-admit → evict again, all pending)
+            # refers to a slot the unapplied re-admission assigned —
+            # the arrays never held the id there.
+            if first_evict_of_slot and int(i) not in restore:
               restore[int(i)] = int(s)
           planned.update(plan.miss_slots.tolist())
         shape = ids.shape

@@ -137,27 +137,15 @@ def _touched_blocks_auto(vocab: int, n_updates: int,
   return n_updates if nblocks > n_updates else 0
 
 
-def _touched_blocks_auto_packed(table, n_updates: int, block_rows) -> int:
-  """Like :func:`_touched_blocks_auto` but against the PACKED block
-  count: lane packing divides the stream's block count by the pack
-  factor, so the updates-vs-blocks crossover moves with it."""
-  opt = int(OPTIONS['emb_update_touched_blocks'])
-  if opt > 0:
-    return opt
-  if opt < 0:
-    return 0
-  from hybridbackend_tpu.ops.pallas.scatter import (
-      _BLOCK_ROWS, _pack_factor)
-  br = int(block_rows or _BLOCK_ROWS)
-  v, d = table.shape
-  nblocks = -(-(v // _pack_factor(v, d)) // br)
-  return n_updates if nblocks > n_updates else 0
-
-
-
-def _stream_kwargs(table, rows):
+def _stream_kwargs(table, rows, packs: bool = True):
   """Shared option plumbing for the three stream kernels (block size,
-  matmul precision, touched-blocks sparse grid)."""
+  matmul precision, touched-blocks sparse grid).
+
+  ``packs``: whether the consuming kernel lane-packs narrow tables
+  internally (add/adagrad do; the LazyAdam kernel streams unpacked) —
+  the updates-vs-blocks auto crossover must count the blocks the kernel
+  will actually stream."""
+  from hybridbackend_tpu.ops.pallas.scatter import _pack_factor
   kwargs = {}
   if OPTIONS['emb_update_block_rows']:
     kwargs['block_rows'] = int(OPTIONS['emb_update_block_rows'])
@@ -165,8 +153,10 @@ def _stream_kwargs(table, rows):
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
   if OPTIONS['emb_update_dma_chunk']:
     kwargs['dma_chunk'] = int(OPTIONS['emb_update_dma_chunk'])
-  tb = _touched_blocks_auto_packed(table, rows.shape[0],
-                                   kwargs.get('block_rows'))
+  v, d = table.shape
+  streamed_vocab = v // _pack_factor(v, d) if packs else v
+  tb = _touched_blocks_auto(streamed_vocab, rows.shape[0],
+                            kwargs.get('block_rows'))
   if tb:
     kwargs['touched_blocks'] = tb
   return kwargs
@@ -778,7 +768,7 @@ def _stream_adam(table, m, v, rows, g, lr, step, b1, b2, eps):
   from hybridbackend_tpu.ops.pallas.scatter import adam_update_sorted
   order = jnp.argsort(rows)
   interpret = jax.default_backend() != 'tpu'
-  kwargs = _stream_kwargs(table, rows)
+  kwargs = _stream_kwargs(table, rows, packs=False)  # adam never packs
   kwargs.pop('dma_chunk', None)  # adam kernel: per-chunk DMAs only
   return adam_update_sorted(table, m, v, rows[order], g[order],
                             lr=lr, step=step, b1=float(b1), b2=float(b2),

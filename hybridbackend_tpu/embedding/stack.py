@@ -139,11 +139,20 @@ def member_tables(stack: TableStack, stacked: jax.Array,
   re-mixed, so member row ``i`` lives at stacked row ``offset + i``).
   Used by serving export to reconstruct standalone tables from the
   checkpointed stacked arrays (reference ``export_all`` rebuilds the
-  serving graph from checkpoint, ``saved_model.py:54-192``)."""
+  serving graph from checkpoint, ``saved_model.py:54-192``).
+
+  In a multi-process job a row-sharded stack spans non-addressable
+  devices, so materializing it is a COLLECTIVE: every process must
+  call this function (the trainer's ``export_saved_model`` does)."""
   import numpy as np
   ctx = ctx or Context.get()
   vocab = stack.stacked.padded_vocab(ctx)
-  host = np.asarray(stacked)
+  if isinstance(stacked, jax.Array) and not stacked.is_fully_addressable:
+    from jax.experimental import multihost_utils
+    host = np.asarray(multihost_utils.process_allgather(stacked,
+                                                        tiled=True))
+  else:
+    host = np.asarray(stacked)
   if stack.stacked.pack_of(stacked) > 1:
     # Lane-packed physical layout: free row-major unpack on the host.
     host = host.reshape(-1, stack.stacked.dim)
@@ -239,11 +248,18 @@ def update_segments(stack: TableStack, layout
 
 def unpack_embeddings(stack: TableStack, emb: jax.Array,
                       layout) -> Dict[str, jax.Array]:
-  """Split fused ``[B, K, D]`` embeddings back per member."""
+  """Split fused ``[B, K, D]`` embeddings back per member.
+
+  The leading (batch) dim follows ``emb`` itself, not the layout's
+  recorded shape: inside a ``shard_map`` body (the wire-compressed
+  gradient path) ``emb`` carries the per-device batch slice while the
+  layout was built from the global trace.
+  """
   out = {}
   pos = 0
   for name, shape, width in layout:
-    out[name] = emb[:, pos:pos + width].reshape(*shape, stack.dim)
+    out[name] = emb[:, pos:pos + width].reshape(
+        emb.shape[0], *shape[1:], stack.dim)
     pos += width
   return out
 

@@ -428,7 +428,16 @@ class SparseTrainer(Trainer):
     if dense_optimizer is None:
       dense_optimizer = optax.adam(1e-3)
     if tables is None:
-      tables = fx.init(rng if rng is not None else jax.random.PRNGKey(0))
+      if table_optimizer == 'adam':
+        # LazyAdam tables never lane-pack (per-row moment presence
+        # would decay neighboring logical rows' moments) — the 'auto'
+        # pack policy cannot see the optimizer, so disable it here
+        # before the tables are materialized.
+        from hybridbackend_tpu.framework.options import OPTIONS as _OPTS
+        with _OPTS.override(emb_lane_pack='off'):
+          tables = fx.init(rng if rng is not None else jax.random.PRNGKey(0))
+      else:
+        tables = fx.init(rng if rng is not None else jax.random.PRNGKey(0))
     self.state = SparseTrainState.create(
         dense_params, tables, dense_optimizer, adagrad_init, self._ctx,
         adam=(table_optimizer == 'adam'))
@@ -484,20 +493,32 @@ class SparseTrainer(Trainer):
     ({column: IdMapper}) to bundle dynamic-table id resolution.
 
     ``example_batch`` must carry every column the loss function reads
-    (including a dummy label column). Chief-only, like rank0-only
-    export in the reference."""
-    if not self._ctx.is_chief:
-      return path
+    (including a dummy label column). EVERY process must call this
+    (materializing row-sharded stacks is a collective gather); only the
+    chief writes the bundle, like rank0-only export in the reference."""
     import dataclasses as _dc
     from hybridbackend_tpu.embedding.stack import member_tables
     from hybridbackend_tpu.models.feature import EmbeddingSpec
     from hybridbackend_tpu.training.saved_model import export
 
+    # Collective phase — all processes participate: sharded stacks span
+    # non-addressable devices, so member_tables all-gathers them.
+    extracted: Dict[str, Dict[str, Any]] = {}
+    for spec in self._fx.specs:
+      if spec.key in self._caches:
+        continue
+      stack = self._fx._stack_of[spec.config.name]
+      sname = stack.stacked.name
+      if sname not in extracted:
+        extracted[sname] = member_tables(
+            stack, self.state.tables[sname], self._ctx)
+
+    if not self._ctx.is_chief:
+      return path
+
     if self._cache_runner is not None:
       # Make storage authoritative without consuming pending plans.
       self._cache_runner.checkpoint_flush(self.state)
-
-    extracted: Dict[str, Dict[str, Any]] = {}
     serving_tables: Dict[str, Any] = {}
     serving_specs = []
     for spec in self._fx.specs:
@@ -514,9 +535,6 @@ class SparseTrainer(Trainer):
         continue
       stack = self._fx._stack_of[name]
       sname = stack.stacked.name
-      if sname not in extracted:
-        extracted[sname] = member_tables(
-            stack, self.state.tables[sname], self._ctx)
       serving_tables[name] = extracted[sname][name]
       # Stacked lookups address members at offset+raw_id (member
       # shuffle_ids is not applied inside a stack), so the extracted

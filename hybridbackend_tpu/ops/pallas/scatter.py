@@ -47,7 +47,7 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
                     upd_s, gsum_s, sems, *, block_rows, chunk,
                     mode, eps, precision,
                     lr_ref=None, acc_ref=None, acc_out_ref=None,
-                    touched=False, dma_chunk=0, expand_p=0):
+                    touched=False, dma_chunk=0):
   """Grid dim 0 walks table blocks.
 
   The per-block update is computed as a ONE-HOT MXU MATMUL, not a
@@ -108,33 +108,11 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
 
     def accumulate(upd_view, c0):
       """One-hot matmul of chunk ``c0`` (update rows staged in
-      ``upd_view`` [chunk, lanes]).
-
-      With ``expand_p`` (in-kernel lane packing), ``rows_ref`` holds
-      the ORIGINAL (unpacked) row ids and ``upd_view`` the raw
-      ``[chunk, d]`` updates: the packed-row one-hot uses ``row // p``
-      and the update is expanded into its ``(row % p)·d`` lane slice
-      here, in VMEM, where the narrow intermediate costs nothing —
-      an XLA-side expansion pays ~8x physical lane padding in HBM
-      (measured 8.5 ms at the flagship shape)."""
+      ``upd_view`` [chunk, lanes])."""
       ci = c0 // chunk
       # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
       raw = rows_ref[pl.ds(ci, 1), :]                     # [1, chunk]
-      if expand_p:
-        # upd_view is the [chunk/p, p*d] slice of the row-major
-        # [N/p, 128] HBM view (DMA lane alignment needs 128-lane
-        # slices); un-pack to the logical [chunk, d] rows first.
-        d0 = upd_view.shape[1] // expand_p
-        u = upd_view.reshape(chunk, d0)                   # row-major
-        prow = jnp.where(raw >= 0, raw // expand_p, raw)
-        local = prow - b * block_rows
-        lane = jnp.where(raw >= 0, raw % expand_p, -1)    # [1, chunk]
-        lidx = jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, expand_p * d0), 1) // d0   # [chunk, 128]
-        src = jnp.concatenate([u] * expand_p, axis=1)
-        upd_view = jnp.where(lidx == lane.reshape(chunk, 1), src, 0)
-      else:
-        local = raw - b * block_rows
+      local = raw - b * block_rows
       # Transposed one-hot via broadcast compare: [block_rows, chunk].
       onehot_t = (jax.lax.broadcasted_iota(
           jnp.int32, (block_rows, chunk), 0) == local).astype(
@@ -145,13 +123,11 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
           precision=precision,
           preferred_element_type=jnp.float32).astype(gsum_s.dtype)
 
-    ep = max(expand_p, 1)
-
     if not dma_chunk:
       def process_chunk(c0):
         c0 = pl.multiple_of(c0, chunk)
         upd_cp = pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(c0 // ep, chunk // ep), :], upd_s,
+            upd_hbm.at[pl.ds(c0, chunk), :], upd_s,
             sems.at[0])
         upd_cp.start()
         upd_cp.wait()
@@ -174,7 +150,7 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
 
       def get_copy(slot, s0):
         return pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(s0 // ep, dmac // ep), :], upd_s.at[slot],
+            upd_hbm.at[pl.ds(s0, dmac), :], upd_s.at[slot],
             sems.at[slot])
 
       get_copy(0, pl.multiple_of(start_al, dmac)).start()
@@ -190,7 +166,7 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
 
         get_copy(slot, s0).wait()
         for k in range(dmac // chunk):
-          accumulate(upd_s[slot, pl.ds(k * (chunk // ep), chunk // ep), :],
+          accumulate(upd_s[slot, pl.ds(k * chunk, chunk), :],
                      s0 + k * chunk)
         return 0
 

@@ -141,6 +141,11 @@ def make_sparse_train_step(
         dg = jax.tree_util.tree_map(
             lambda g: jax.lax.psum(g.astype(wire), axes)
             .astype(g.dtype) / world, dg)
+        # The in-body loss is a mean over the LOCAL batch slice; the
+        # GSPMD path's per-row embedding grads carry the GLOBAL 1/B
+        # weight, so rescale (same mean-loss convention as the dense
+        # wire path in training/train.py).
+        dr = jax.tree_util.tree_map(lambda g: g / world, dr)
         loss = jax.lax.pmean(loss, axes)
         aux = jax.tree_util.tree_map(
             lambda a: jax.lax.pmean(a, axes) if jnp.ndim(a) == 0 else a,

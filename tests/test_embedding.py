@@ -393,3 +393,24 @@ def test_shuffled_ids_preserve_negative_lanes():
     got = np.asarray(lookup(tbl, jnp.asarray(idn), cfg, strategy=strategy))
     ref = np.asarray(lookup(tbl, jnp.asarray(idn), cfg, strategy='gspmd'))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_replicated_shuffled_lookup_non_pow2_vocab():
+  """Replicated (unsharded) shuffle_ids table with a NON-pow2 vocab:
+  row mixing spreads valid ids over the pow2-padded physical range, so
+  validity must be judged on the LOGICAL id, not the mixed row — the
+  old ``rows < vocab_size`` mask silently zeroed every id whose mixed
+  row landed in [vocab_size, padded_vocab) (r3 self-review finding)."""
+  cfg = TableConfig('shr', 300, 8, shuffle_ids=True, sharded=False)
+  tbl = create_table(cfg, jax.random.PRNGKey(3))
+  host = np.asarray(tbl)                      # [padded_vocab, 8]
+  assert host.shape[0] == 512                 # pow2-padded physical rows
+  ids = jnp.arange(300, dtype=jnp.int32)
+  rows = np.asarray(cfg.row_index(ids))
+  got = np.asarray(lookup(tbl, ids, cfg))
+  np.testing.assert_allclose(got, host[rows], atol=1e-6)
+  assert (np.abs(got).sum(axis=1) > 0).all()  # no valid id reads zeros
+  # Contract: negative and out-of-vocab ids still read zeros.
+  bad = np.asarray(lookup(tbl, jnp.asarray([-1, 300, 511], jnp.int32),
+                          cfg))
+  assert (bad == 0).all()

@@ -176,3 +176,40 @@ def test_adam_rejects_packed_tables():
     with pytest.raises(ValueError, match='lane pack'):
       sparse_adam_apply(tbl, st, jnp.zeros((8,), jnp.int32),
                         jnp.zeros((8, D)), cfg, 0.1, step=1)
+
+
+def test_adam_trainer_auto_policy_never_packs():
+  """SparseTrainer(table_optimizer='adam') on a SINGLE-device mesh must
+  not crash: the 'auto' lane-pack policy packs single-chip narrow
+  tables, but LazyAdam is incompatible with packing — the trainer
+  disables packing before materializing tables (r3 self-review
+  finding: default config crashed at the first step)."""
+  from jax.sharding import Mesh
+  from hybridbackend_tpu.framework.context import Context
+  from hybridbackend_tpu.models import (
+      EmbeddingSpec, StackedFeatureExtractor)
+  ctx1 = Context(Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                      ('dcn', 'ici')))
+  assert ctx1.world_size == 1
+  fx = StackedFeatureExtractor(
+      [EmbeddingSpec(TableConfig('c0', 64, 16))], dense_columns=['d0'],
+      ctx=ctx1)
+
+  def ml(dense, emb_f, dense_f, b):
+    x = jnp.concatenate(emb_f + dense_f, axis=-1)
+    p = jax.nn.sigmoid((x @ dense['w'])[:, 0])
+    pel = (p - b['label']) ** 2
+    return jnp.mean(pel), {'preds': p, 'per_example_loss': pel}
+
+  tr = hb.SparseTrainer(
+      fx, ml, {'w': jnp.zeros((17, 1), jnp.float32)},
+      dense_optimizer=optax.sgd(0.1), table_lr=0.1,
+      table_optimizer='adam', rng=jax.random.PRNGKey(0), ctx=ctx1)
+  name = fx.stacks[0].stacked.name
+  assert tr.state.tables[name].shape[1] == 16  # unpacked
+  r = np.random.RandomState(0)
+  m = tr.train(({'c0': r.randint(0, 64, 16).astype(np.int32),
+                 'd0': r.rand(16).astype(np.float32),
+                 'label': np.ones(16, np.float32)} for _ in range(3)),
+               sync=False)
+  assert np.isfinite(m['loss'])

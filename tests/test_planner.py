@@ -60,3 +60,23 @@ def test_single_device_never_shards():
   plans = plan_sharding([TableConfig('x', 10_000_000, 16)], {'x': 8192},
                         ctx=ctx)
   assert not plans['x'].sharded
+
+
+def test_multichip_plan_counts_physical_row_bytes():
+  """Multi-chip plans must count the 128-lane tile tax for narrow
+  tables: the 'auto' lane-pack policy packs only single-chip tables,
+  so a [V, 16] table holds 512 B/row of HBM on an 8-device mesh, not
+  64 B (r3 self-review: the budget check could admit an 8x-over-budget
+  replicated plan)."""
+  from hybridbackend_tpu.embedding.table import TableConfig
+
+  cfg = TableConfig('n16', 100_000, 16)
+  p = plan_sharding([cfg], {'n16': 8192})['n16']
+  rows_held = 100_000 // 8 if p.sharded else 100_000
+  assert p.hbm_bytes_per_device >= rows_held * 128 * 4
+
+  # A config that FORCES packing stores at logical density.
+  cfgp = TableConfig('p16', 100_000, 16, lane_pack=True)
+  pp = plan_sharding([cfgp], {'p16': 8192})['p16']
+  rows_held = 100_000 // 8 if pp.sharded else 100_000
+  assert pp.hbm_bytes_per_device <= rows_held * 16 * 4

@@ -618,3 +618,48 @@ def test_eval_transform_consistent_under_pending_plans():
   runner.apply_next(tr.state)
   out4 = runner.eval_transform({'big': ids2})
   assert (out4['big'] >= 0).all()
+
+
+def test_eval_transform_repeated_pending_eviction_keeps_array_slot():
+  """An id evicted, re-admitted, and evicted again while ALL three
+  plans are still pending must resolve to the slot whose rows it still
+  OWNS in the arrays (its first pending eviction) — not the slot a
+  later unapplied re-admission assigned (r3 self-review: the restore
+  map was keyed by id and overwritten by the later eviction)."""
+  from hybridbackend_tpu.embedding import TableConfig
+  from hybridbackend_tpu.embedding.service import (
+      CachePlan, CacheRunner, EmbeddingCache)
+  from hybridbackend_tpu.models import (
+      EmbeddingSpec, StackedFeatureExtractor)
+
+  CAP, DIM = 8, 8
+  cache = EmbeddingCache(
+      TableConfig('big', 64, DIM), CAP,
+      host_tables={'value': np.zeros((64, DIM), np.float32)})
+  fx = StackedFeatureExtractor(
+      [EmbeddingSpec(cache.slot_config(), column='big')])
+  runner = CacheRunner({'big': cache}, fx)
+
+  A = 7
+  # Pending, unapplied: plan1 evicts A from slot 1 (id 9 takes it);
+  # plan2 re-admits A at slot 4; plan3 evicts A from slot 4 (id 10).
+  def plan(evict_slots, evict_ids, miss_slots, miss_ids):
+    return {'big': CachePlan(
+        slots=np.zeros((0,), np.int32),
+        evict_slots=np.asarray(evict_slots, np.int64),
+        evict_ids=np.asarray(evict_ids, np.int64),
+        miss_slots=np.asarray(miss_slots, np.int64),
+        miss_ids=np.asarray(miss_ids, np.int64))}
+  runner._plans.extend([plan([1], [A], [1], [9]),
+                        plan([], [], [4], [A]),
+                        plan([4], [A], [4], [10])])
+  # Live metadata AFTER the three (unapplied) plans: 9@1, 10@4, A gone.
+  cache._set_slots(np.asarray([9, 10]), np.asarray([1, 4]))
+  cache._slot_to_id[1] = 9
+  cache._slot_to_id[4] = 10
+
+  out = runner.eval_transform({'big': np.asarray([A, 9, 10], np.int64)})
+  # A's rows still sit at slot 1 in the arrays (no plan applied).
+  assert out['big'][0] == 1, out
+  # The pending admissions' slots hold the OLD owners' rows: misses.
+  assert out['big'][1] == -1 and out['big'][2] == -1, out

@@ -143,3 +143,96 @@ def test_sharded_leaves_fall_back_to_gspmd():
   assert np.abs(np.asarray(state2.params['table']) - 1.0).max() > 1e-7
   # ...and it stayed sharded.
   assert len(state2.params['table'].sharding.device_set) == 8
+
+
+def test_sparse_step_wire_path_parity():
+  """make_sparse_train_step with comm_gradient_wire_dtype set (r3
+  self-review findings): (a) the shard_map body must trace — layouts
+  carry GLOBAL batch shapes while the body sees per-device slices
+  (unpack_embeddings now follows the array's own leading dim); (b)
+  per-row embedding grads must carry the GLOBAL 1/B mean weight, not
+  the local 1/(B/W) one — detected through the adagrad accumulator,
+  which squares the row totals (a W-scaling bug inflates it W^2 = 64x
+  here)."""
+  from hybridbackend_tpu.embedding import TableConfig
+  from hybridbackend_tpu.models import (
+      EmbeddingSpec, StackedFeatureExtractor)
+  from hybridbackend_tpu.training.sparse_step import (
+      SparseTrainState, make_sparse_train_step)
+
+  ctx = Context.get()
+  B = 64
+  rng = np.random.RandomState(0)
+  ids = rng.randint(0, 64, B).astype(np.int32)
+  batch_np = {'c0': ids, 'd0': rng.rand(B).astype(np.float32),
+              'label': (ids % 2 == 0).astype(np.float32)}
+
+  def ml(dense, emb_f, dense_f, b):
+    x = jnp.concatenate(emb_f + dense_f, axis=-1)
+    preds = jax.nn.sigmoid((x @ dense['w'])[:, 0])
+    p = jnp.clip(preds, 1e-6, 1 - 1e-6)
+    y = b['label']
+    pel = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+    return jnp.mean(pel), {'preds': preds}
+
+  def run(wire):
+    with hb.scope(comm_gradient_wire_dtype=wire):
+      fx = StackedFeatureExtractor(
+          [EmbeddingSpec(TableConfig('c0', 64, 8, sharded=True))],
+          dense_columns=['d0'], ctx=ctx)
+      tables = fx.init(jax.random.PRNGKey(1))
+      dense = {'w': jnp.full((9, 1), 0.1, jnp.float32)}
+      state = SparseTrainState.create(dense, tables, optax.sgd(0.1),
+                                      0.1, ctx)
+      step = make_sparse_train_step(fx, ml, optax.sgd(0.1), 0.1, ctx)
+      batch = {k: jax.device_put(jnp.asarray(v), ctx.batch_sharding)
+               for k, v in batch_np.items()}
+      state2, m = step(state, batch)
+      name = fx.stacks[0].stacked.name
+      return (float(m['loss']),
+              np.asarray(state2.table_opt[name].acc[0]),
+              np.asarray(state2.dense['w']))
+
+  loss_f, acc_f, w_f = run('float32')
+  loss_b, acc_b, w_b = run('bfloat16')
+  np.testing.assert_allclose(loss_b, loss_f, rtol=1e-4)
+  np.testing.assert_allclose(acc_b, acc_f, rtol=2e-2, atol=1e-6)
+  np.testing.assert_allclose(w_b, w_f, rtol=5e-2, atol=1e-4)
+
+
+def test_sparse_step_wire_path_raw_mode():
+  """The raw_model_loss branch of the wire path (sequence models) must
+  also trace with per-device slices and produce finite metrics."""
+  from hybridbackend_tpu.embedding import TableConfig
+  from hybridbackend_tpu.models import (
+      EmbeddingSpec, StackedFeatureExtractor)
+  from hybridbackend_tpu.training.sparse_step import (
+      SparseTrainState, make_sparse_train_step)
+
+  ctx = Context.get()
+  B, L = 32, 4
+  rng = np.random.RandomState(1)
+  batch_np = {'seq': rng.randint(0, 64, (B, L)).astype(np.int32),
+              'label': rng.randint(0, 2, B).astype(np.float32)}
+
+  def raw_loss(dense, members, b):
+    pooled = members['seq'].mean(axis=1)          # [B, D]
+    preds = jax.nn.sigmoid((pooled @ dense['w'])[:, 0])
+    pel = (preds - b['label']) ** 2
+    return jnp.mean(pel), {'preds': preds}
+
+  with hb.scope(comm_gradient_wire_dtype='bfloat16'):
+    fx = StackedFeatureExtractor(
+        [EmbeddingSpec(TableConfig('seq', 64, 8, sharded=True))], ctx=ctx)
+    tables = fx.init(jax.random.PRNGKey(2))
+    dense = {'w': jnp.full((8, 1), 0.1, jnp.float32)}
+    state = SparseTrainState.create(dense, tables, optax.sgd(0.1),
+                                    0.1, ctx)
+    step = make_sparse_train_step(fx, None, optax.sgd(0.1), 0.1, ctx,
+                                  raw_model_loss=raw_loss)
+    batch = {k: jax.device_put(jnp.asarray(v), ctx.batch_sharding
+                               if np.ndim(v) == 1
+                               else ctx.sharding(ctx.data_axes, None))
+             for k, v in batch_np.items()}
+    state2, m = step(state, batch)
+  assert np.isfinite(float(m['loss']))
