@@ -149,8 +149,8 @@ def main():
       preds = dlrm_apply(params['net'], dense, emb)
     preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
     y = batch['label']
-    loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
-    return loss, {'preds': preds}
+    pel = -(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+    return jnp.mean(pel), {'preds': preds, 'per_example_loss': pel}
 
   if args.sparse:
     # Row-sparse table path: tables updated on touched rows only.
@@ -161,8 +161,8 @@ def main():
         preds = dlrm_apply(dense_params, dense_f, emb_f)
       preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
       y = batch['label']
-      loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
-      return loss, {'preds': preds}
+      pel = -(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+      return jnp.mean(pel), {'preds': preds, 'per_example_loss': pel}
 
     ctx0 = hb.Context.get()
     strainer = hb.estimator.SparseTrainer(

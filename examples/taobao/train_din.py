@@ -107,8 +107,8 @@ def main():
                       [profile])
     preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
     y = batch['label']
-    loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
-    return loss, {'preds': preds}
+    pel = -(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+    return jnp.mean(pel), {'preds': preds, 'per_example_loss': pel}
 
   if args.sparse:
     # Candidate + history resolved in ONE fused exchange ('cand_hist'

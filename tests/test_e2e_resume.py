@@ -123,7 +123,9 @@ def _launch(script, env_extra, tmp_path, timeout=420):
   out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                        timeout=timeout, cwd=cwd)
   assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
-  return out.stdout
+  # Tuck the stderr tail onto the string so assertion messages carry it
+  # (FINAL parsing uses MULTILINE ^...$ anchors; stderr can't collide).
+  return out.stdout + '\n<stderr>\n' + out.stderr[-3000:]
 
 
 def _digests(stdout):
@@ -143,10 +145,12 @@ def test_partition_train_checkpoint_resume(tmp_path):
   script.write_text(CHILD)
 
   # Uninterrupted baseline: 8 global steps straight through.
-  full = _digests(_launch(script, {
+  out_full = _launch(script, {
       'HB_PHASE': 'full', 'HB_DATA_DIR': data_dir,
-      'HB_MODEL_DIR': str(tmp_path / 'full')}, tmp_path))
-  assert set(full) == {0, 1} and all(s == 8 for s, _ in full.values()), full
+      'HB_MODEL_DIR': str(tmp_path / 'full')}, tmp_path)
+  full = _digests(out_full)
+  assert set(full) == {0, 1} and all(s == 8 for s, _ in full.values()), (
+      full, out_full[-3000:])
 
   # Interrupted: 4 steps, checkpoint, processes exit...
   out1 = _launch(script, {

@@ -213,3 +213,48 @@ def test_adam_trainer_auto_policy_never_packs():
                  'label': np.ones(16, np.float32)} for _ in range(3)),
                sync=False)
   assert np.isfinite(m['loss'])
+
+
+def test_packed_multi_member_unaligned_boundary():
+  """Two stacked members whose boundary (vocab 300) is NOT a multiple
+  of the pack factor (8): packed rows at the boundary hold rows of BOTH
+  members; training parity with the unpacked layout must still hold
+  (lane slices are disjoint per logical row regardless of member)."""
+  from hybridbackend_tpu.models import (
+      EmbeddingSpec, StackedFeatureExtractor)
+
+  def batches(n, seed):
+    r = np.random.RandomState(seed)
+    for _ in range(n):
+      a = r.randint(0, 300, 32).astype(np.int32)
+      b = r.randint(0, 100, 32).astype(np.int32)
+      yield {'a': a, 'b': b,
+             'label': ((a + b) % 2 == 0).astype(np.float32)}
+
+  def ml(dense, emb_f, dense_f, b):
+    x = jnp.concatenate(emb_f + dense_f, axis=-1)
+    p = jnp.clip(jax.nn.sigmoid((x @ dense['w'])[:, 0]), 1e-6, 1 - 1e-6)
+    y = b['label']
+    pel = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+    return jnp.mean(pel), {'preds': p, 'per_example_loss': pel}
+
+  def run(mode):
+    with hb.scope(emb_lane_pack=mode):
+      fx = StackedFeatureExtractor(
+          [EmbeddingSpec(TableConfig('a', 300, D)),
+           EmbeddingSpec(TableConfig('b', 100, D))])
+      tr = hb.SparseTrainer(
+          fx, ml, {'w': jnp.zeros((2 * D, 1), jnp.float32)},
+          dense_optimizer=optax.sgd(0.5), table_lr=0.2,
+          rng=jax.random.PRNGKey(9))
+      m = tr.train(batches(10, seed=5), sync=False)
+      name = fx.stacks[0].stacked.name
+      host = np.asarray(tr.state.tables[name])
+      if host.shape[1] != D:
+        host = host.reshape(-1, D)
+      return m['loss'], host[:400]
+
+  loss_off, t_off = run('off')
+  loss_on, t_on = run('on')
+  np.testing.assert_allclose(loss_on, loss_off, rtol=1e-5)
+  np.testing.assert_allclose(t_on, t_off, rtol=1e-4, atol=1e-6)

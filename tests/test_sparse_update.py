@@ -811,3 +811,54 @@ class TestSegmentSortedUpdate:
       np.testing.assert_allclose(
           np.asarray(s_stream.tables[name]),
           np.asarray(s_xla.tables[name]), rtol=1e-4, atol=1e-5)
+
+
+def test_stream_kwargs_touched_blocks_counts_streamed_blocks():
+  """The updates-vs-blocks auto crossover must count the blocks the
+  consuming kernel actually streams: add/adagrad lane-pack narrow
+  tables internally (packed block count), the LazyAdam kernel streams
+  unpacked (r3 self-review: adam lost the sparse grid in the
+  huge-vocab regime it serves)."""
+  import jax.numpy as jnp
+  from hybridbackend_tpu.embedding.sparse_update import _stream_kwargs
+
+  table = jnp.zeros((1_048_576, 16), jnp.float32)   # pack factor 8
+  # 2000 updates: unpacked blocks = 1024 (1M/1024) < 2000? No: 1024
+  # blocks < 2000 updates -> full stream for packed too. Pick counts
+  # between the two block counts: packed blocks = 128, unpacked = 1024.
+  rows = jnp.zeros((500,), jnp.int32)               # 128 < 500 < 1024
+  packed = _stream_kwargs(table, rows, packs=True)
+  unpacked = _stream_kwargs(table, rows, packs=False)
+  # Packed stream: 128 blocks < 500 updates -> sparse grid off.
+  assert 'touched_blocks' not in packed, packed
+  # Unpacked (adam) stream: 1024 blocks > 500 updates -> sparse grid on.
+  assert unpacked.get('touched_blocks') == 500, unpacked
+
+
+def test_bf16_table_storage_trains():
+  """Half-precision embedding storage (TableConfig(dtype=bfloat16))
+  halves table HBM; lookups, grads, and the fused sparse Adagrad all
+  follow the table dtype (accumulator slots ride bf16 too — choose
+  f32 tables when exact slot precision matters)."""
+  import jax
+  import jax.numpy as jnp
+
+  cfg = TableConfig('bh', 512, 16, dtype=jnp.bfloat16, sharded=False)
+  tbl = create_table(cfg, jax.random.PRNGKey(0))
+  assert tbl.dtype == jnp.bfloat16
+  ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, 64),
+                    jnp.int32)
+  from hybridbackend_tpu.embedding import lookup
+  emb = lookup(tbl, ids, cfg)
+  assert emb.dtype == jnp.bfloat16
+  st = init_adagrad_state(tbl, 0.1)
+  t2, s2 = sparse_adagrad_apply(tbl, st, ids,
+                                jnp.ones((64, 16), jnp.float32), cfg,
+                                0.1)
+  assert t2.dtype == jnp.bfloat16 and s2.acc[0].dtype == jnp.bfloat16
+  moved = np.abs(np.asarray(t2, np.float32)
+                 - np.asarray(tbl, np.float32))
+  touched = sorted(set(np.asarray(ids).tolist()))
+  assert (moved[touched].sum(axis=1) > 0).all()
+  untouched = sorted(set(range(512)) - set(touched))
+  assert moved[untouched].sum() == 0
