@@ -62,9 +62,15 @@ def main():
             cwd=REPO)
         finals = re.findall(r'^FINAL (\d+) (\d+) ([0-9a-f]+)$',
                             out.stdout, re.MULTILINE)
-        ok = out.returncode == 0 and len(finals) == 2
-        print(f'iter {i}: rc={out.returncode} finals={len(finals)}'
-              f'{" OK" if ok else "  <-- ANOMALY"}', flush=True)
+        # The children also write per-rank result files — distinguishes
+        # "children never finished" from "stdout transport lost lines".
+        files = sum(os.path.exists(os.path.join(env['HB_MODEL_DIR'],
+                                                f'final_{r}.txt'))
+                    for r in (0, 1))
+        ok = out.returncode == 0 and len(finals) == 2 and files == 2
+        print(f'iter {i}: rc={out.returncode} finals={len(finals)} '
+              f'files={files}{" OK" if ok else "  <-- ANOMALY"}',
+              flush=True)
         if not ok:
           bad += 1
           keep = f'/tmp/e2e_anomaly_{i}'

@@ -78,6 +78,8 @@ if phase == 'part1':
     assert tr.global_step == 0
     tr.train(batches(), max_steps=4)
     assert tr.global_step == 4
+    with open(os.path.join(model_dir, f'part1_{rank}.done'), 'w') as f:
+        f.write('ok')
     print('PART1_DONE rank', rank)
 else:
     if phase == 'part2':
@@ -95,6 +97,12 @@ else:
         for acc in tr.state.table_opt[name].acc:
             for s in sorted(acc.addressable_shards, key=lambda s: s.device.id):
                 h.update(np.asarray(s.data).tobytes())
+    # Per-rank result FILE is the source of truth: the shared stdout
+    # pipe has twice (r2, r3) lost/corrupted lines under full-suite
+    # load (see benchmarks/stress_e2e_launch.py) and transport
+    # integrity is not what this test proves.
+    with open(os.path.join(model_dir, f'final_{rank}.txt'), 'w') as f:
+        f.write(f'{rank} {tr.global_step} {h.hexdigest()}')
     print('FINAL', rank, tr.global_step, h.hexdigest())
 """
 
@@ -128,12 +136,17 @@ def _launch(script, env_extra, tmp_path, timeout=420):
   return out.stdout + '\n<stderr>\n' + out.stderr[-3000:]
 
 
-def _digests(stdout):
-  import re
+def _digests(model_dir, stdout):
+  """Per-rank result files are the source of truth (the shared stdout
+  pipe has lost lines under full-suite load — twice); stdout is kept in
+  the return path only for assertion context."""
   out = {}
-  for m in re.finditer(r'^FINAL (\d+) (\d+) ([0-9a-f]+)$', stdout,
-                       re.MULTILINE):
-    out[int(m.group(1))] = (int(m.group(2)), m.group(3))
+  for rank in (0, 1):
+    p = os.path.join(model_dir, f'final_{rank}.txt')
+    if os.path.exists(p):
+      with open(p) as f:
+        r, s, d = f.read().split()
+      out[int(r)] = (int(s), d)
   return out
 
 
@@ -145,23 +158,26 @@ def test_partition_train_checkpoint_resume(tmp_path):
   script.write_text(CHILD)
 
   # Uninterrupted baseline: 8 global steps straight through.
+  full_dir = str(tmp_path / 'full')
   out_full = _launch(script, {
       'HB_PHASE': 'full', 'HB_DATA_DIR': data_dir,
-      'HB_MODEL_DIR': str(tmp_path / 'full')}, tmp_path)
-  full = _digests(out_full)
+      'HB_MODEL_DIR': full_dir}, tmp_path)
+  full = _digests(full_dir, out_full)
   assert set(full) == {0, 1} and all(s == 8 for s, _ in full.values()), (
       full, out_full[-3000:])
 
   # Interrupted: 4 steps, checkpoint, processes exit...
+  resume_dir = str(tmp_path / 'resume')
   out1 = _launch(script, {
       'HB_PHASE': 'part1', 'HB_DATA_DIR': data_dir,
-      'HB_MODEL_DIR': str(tmp_path / 'resume')}, tmp_path)
-  assert out1.count('PART1_DONE') == 2, out1
+      'HB_MODEL_DIR': resume_dir}, tmp_path)
+  assert all(os.path.exists(os.path.join(resume_dir, f'part1_{r}.done'))
+             for r in (0, 1)), out1[-3000:]
 
   # ...fresh relaunch restores step 4 and finishes the data.
-  resumed = _digests(_launch(script, {
+  resumed = _digests(resume_dir, _launch(script, {
       'HB_PHASE': 'part2', 'HB_DATA_DIR': data_dir,
-      'HB_MODEL_DIR': str(tmp_path / 'resume')}, tmp_path))
+      'HB_MODEL_DIR': resume_dir}, tmp_path))
   assert set(resumed) == {0, 1}, resumed
   assert all(s == 8 for s, _ in resumed.values()), resumed
 
