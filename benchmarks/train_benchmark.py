@@ -53,6 +53,10 @@ def main():
   p.add_argument('--interleave', type=int, default=0, metavar='K',
                  help='sparse mode: PICASSO interleaving over K '
                       'micro-batches')
+  p.add_argument('--table-dtype', default='float32',
+                 choices=['float32', 'bfloat16'],
+                 help='embedding table storage dtype (bfloat16 halves '
+                      'table HBM and the update kernel stream bytes)')
   p.add_argument('--cpu', type=int, default=0)
   p.add_argument('--json', action='store_true')
   args = p.parse_args()
@@ -77,7 +81,9 @@ def main():
   if args.bf16:
     hb.OPTIONS['compute_dtype'] = 'bfloat16'
   ctx = hb.Context.get()
-  specs = [EmbeddingSpec(TableConfig(f'c{i}', args.vocab, args.dim))
+  tdt = jnp.bfloat16 if args.table_dtype == 'bfloat16' else jnp.float32
+  specs = [EmbeddingSpec(TableConfig(f'c{i}', args.vocab, args.dim,
+                                     dtype=tdt))
            for i in range(args.tables)]
   dense_names = [f'i{d}' for d in range(args.dense_features)]
   key = jax.random.PRNGKey(0)
