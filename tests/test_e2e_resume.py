@@ -140,6 +140,8 @@ def _digests(model_dir, stdout):
   """Per-rank result files are the source of truth (the shared stdout
   pipe has lost lines under full-suite load — twice); stdout is kept in
   the return path only for assertion context."""
+  import re
+  import time
   out = {}
   for rank in (0, 1):
     p = os.path.join(model_dir, f'final_{rank}.txt')
@@ -147,6 +149,16 @@ def _digests(model_dir, stdout):
       with open(p) as f:
         r, s, d = f.read().split()
       out[int(r)] = (int(s), d)
+  # Transport-anomaly telemetry: children completed (files present) but
+  # their FINAL lines are missing from the captured stdout — preserve
+  # the evidence for root-causing (seen only inside full-suite runs).
+  lines = re.findall(r'^FINAL \d+ \d+ [0-9a-f]+$', stdout, re.MULTILINE)
+  if len(out) == 2 and len(lines) < 2:
+    path = f'/tmp/e2e_stdout_anomaly_{int(time.time())}.txt'
+    with open(path, 'w') as f:
+      f.write(stdout)
+    sys.stderr.write(f'[e2e] stdout transport anomaly: {len(lines)}/2 '
+                     f'FINAL lines in captured output; saved {path}\n')
   return out
 
 
