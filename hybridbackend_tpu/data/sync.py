@@ -97,6 +97,7 @@ def _kv_exchange(client, sid: int, step: int, rank: int, world: int,
     while True:
       if cancel is not None and cancel.is_set():
         raise SyncCancelled()
+      attempt_t0 = time.monotonic()
       try:
         raw = client.blocking_key_value_get(f'{base}/{r}', slice_ms)
         break
@@ -118,6 +119,10 @@ def _kv_exchange(client, sid: int, step: int, rank: int, world: int,
               f'SyncReplicasIterator: replica {r} did not reach sync '
               f'step {step} within {total_ms} ms (this is rank {rank}; '
               f'key {base}/{r}). The peer is dead or stalled.') from None
+        # A deadline-classified failure that returned near-instantly
+        # must not hot-loop RPCs against the coordination service.
+        if time.monotonic() - attempt_t0 < 0.1:
+          time.sleep(0.1)
     h, n = raw.split(',')
     h = bool(int(h))
     any_d |= h

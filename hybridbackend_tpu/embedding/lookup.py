@@ -107,6 +107,13 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
     return out.reshape(*ids.shape, config.dim)
 
   rows = config.row_index(ids, ctx)
+  # Validity is a LOGICAL-id property enforced for EVERY strategy here:
+  # on shuffle_ids tables an out-of-vocab positive id mixes to a real
+  # row, and on padded tables it can hit an initializer-filled padding
+  # row — both would silently return (and backprop into) a live row.
+  # Mapping invalid ids to -1 rides the no-owner-shard → zeros contract
+  # every downstream path already implements.
+  rows = jnp.where((ids >= 0) & (ids < config.vocab_size), rows, -1)
 
   p = config.pack_of(table)
   if p > 1:

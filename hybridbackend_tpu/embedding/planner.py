@@ -158,10 +158,13 @@ def plan_sharding(configs: Sequence,
     v, d = cfg.vocab_size, cfg.dim
     b = int(global_batch_ids.get(cfg.name, 0)) or 1
     u = float(uniq.get(cfg.name, 1.0))
-    # The 'auto' lane-pack policy packs only single-chip tables; a
-    # multi-chip plan counts a narrow table at logical density only
-    # when the config FORCES packing.
-    packed = (w <= 1) or getattr(cfg, 'lane_pack', None) is True
+    # Ask the REAL packing policy (config field + emb_lane_pack option
+    # + world size) whether this table stores lane-packed — hand-rolled
+    # predicates here drifted from it once already.
+    try:
+      packed = cfg.pack_factor(ctx) > 1
+    except AttributeError:   # plain duck-typed config in tests
+      packed = w <= 1
     if w <= 1:
       plans[cfg.name] = TablePlan(False, 'row', 'allgather',
                                   v * _phys_row_bytes(d, packed), 0)

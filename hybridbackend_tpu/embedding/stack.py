@@ -77,7 +77,11 @@ def build_stacks(configs: Sequence[TableConfig],
       sharded = cfg.should_shard(ctx)
       strat = (OPTIONS.get_for('emb_lookup_strategy', cfg.name)
                if sharded else None)
-      key = (cfg.dim, str(cfg.dtype), sharded, cfg.partition, strat)
+      # lane_pack is a PHYSICAL-layout property of the stacked array,
+      # so members with different explicit settings must not merge
+      # (and an explicit setting must survive into the stacked config).
+      key = (cfg.dim, str(cfg.dtype), sharded, cfg.partition, strat,
+             cfg.lane_pack)
     groups.setdefault(key, []).append(cfg)
   stacks = []
   for key, members in groups.items():
@@ -96,6 +100,7 @@ def build_stacks(configs: Sequence[TableConfig],
         sharded=bool(members[0].should_shard(ctx)),
         combiner=members[0].combiner,
         partition=members[0].partition,
+        lane_pack=members[0].lane_pack,
         # Solo stacks keep the member's hot-id spreading (the mix is
         # what keeps skewed vocabularies' exchange buckets uniform);
         # multi-member stacks never mix (offset layout must hold).

@@ -289,17 +289,16 @@ def _pack_expand(rows: jax.Array, updates: jax.Array, p: int
   return prow, upd
 
 
-def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK,
-                lane_pad: bool = True) -> Tuple[jax.Array, jax.Array]:
+def pad_updates(rows: jax.Array, updates: jax.Array, chunk: int = _CHUNK
+                ) -> Tuple[jax.Array, jax.Array]:
   """Pad the update list with OOB sentinel rows to a chunk multiple,
   plus one extra chunk so a chunk DMA starting anywhere below the last
-  valid index never reads past the buffer. ``lane_pad=False`` keeps the
-  raw update width (the lane-packed kernel expands in VMEM — padding
-  the HBM array to 128 lanes would move 128/d times the bytes)."""
+  valid index never reads past the buffer; update lanes pad to 128
+  (DMA slices need 128-lane minor dims)."""
   n = rows.shape[0]
   pad = (-n) % chunk + chunk
   rows = jnp.pad(rows, (0, pad), constant_values=2**31 - 1)
-  lanes = (-updates.shape[1]) % 128 if lane_pad else 0
+  lanes = (-updates.shape[1]) % 128
   updates = jnp.pad(updates, ((0, pad), (0, lanes)))
   return rows, updates
 

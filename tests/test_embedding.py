@@ -414,3 +414,24 @@ def test_replicated_shuffled_lookup_non_pow2_vocab():
   bad = np.asarray(lookup(tbl, jnp.asarray([-1, 300, 511], jnp.int32),
                           cfg))
   assert (bad == 0).all()
+
+
+def test_sharded_shuffled_lookup_rejects_out_of_vocab_ids():
+  """Out-of-vocab POSITIVE ids must read zeros on EVERY strategy: on a
+  shuffle_ids table the row mix maps them onto real rows, and on a
+  padded table they can hit initializer-filled padding rows (r3 review
+  round 2 — only the replicated/packed branches were fixed at first)."""
+  cfg = TableConfig('shs', 300, 8, shuffle_ids=True, sharded=True)
+  tbl = create_table(cfg, jax.random.PRNGKey(4))
+  ids = jnp.asarray([-1, 300, 511, 5000, 0, 7, 42, 299], jnp.int32)
+  for strategy in ('allgather', 'alltoall', 'gspmd'):
+    got = np.asarray(lookup(tbl, ids, cfg, strategy=strategy))
+    assert (got[:4] == 0).all(), strategy          # invalid -> zeros
+    assert (np.abs(got[4:]).sum(axis=1) > 0).all(), strategy
+    # Gradients of invalid lanes are zero (no live row corrupted).
+    def loss(t, s=strategy):
+      return jnp.sum(lookup(t, ids, cfg, strategy=s) ** 2)
+    g = np.asarray(jax.grad(loss)(tbl))
+    rows = np.asarray(cfg.row_index(ids[4:]))
+    assert set(np.nonzero(np.abs(g).sum(1))[0]) == set(rows.tolist()), (
+        strategy)

@@ -181,3 +181,26 @@ def test_solo_stack_inherits_shuffle_and_member_extraction():
   # member[id] == the stacked lookup of id (mix inverted).
   np.testing.assert_allclose(np.asarray(out['hot']), member[ids_np],
                              atol=1e-6)
+
+
+def test_lane_pack_survives_stacking():
+  """An explicit lane_pack on member configs must group stacks by it
+  and survive into the stacked config — otherwise the planner's
+  forced-pack HBM accounting and the physical layout disagree (r3
+  review round 2)."""
+  from hybridbackend_tpu.embedding.stack import build_stacks
+  cfgs = [TableConfig('fp', 128, 16, lane_pack=True),
+          TableConfig('fp2', 64, 16, lane_pack=True),
+          TableConfig('np', 64, 16)]
+  stacks = build_stacks(cfgs)
+  by_members = {tuple(c.name for c in s.configs): s for s in stacks}
+  assert ('fp', 'fp2') in by_members and ('np',) in by_members
+  assert by_members[('fp', 'fp2')].stacked.lane_pack is True
+  assert by_members[('np',)].stacked.lane_pack is None
+  # The stacked array is physically packed on any world size.
+  import jax
+  from hybridbackend_tpu.embedding.stack import create_stacked_tables
+  tables = create_stacked_tables([by_members[('fp', 'fp2')]],
+                                 jax.random.PRNGKey(0))
+  (tbl,) = tables.values()
+  assert tbl.shape[1] == 128, tbl.shape
