@@ -101,6 +101,13 @@ def _use_stream(impl: str) -> bool:
   return impl == 'stream'
 
 
+def _valid_rows(rows, ids, config: TableConfig):
+  """Same logical-id validity contract as ``lookup``: out-of-vocab
+  positive ids must not resolve to a real (mixed or padding) row — for
+  LazyAdam even a zero-gradient touch decays a row's moments."""
+  return jnp.where((ids >= 0) & (ids < config.vocab_size), rows, -1)
+
+
 _WARNED_NODEDUP = False
 
 
@@ -588,7 +595,8 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
         table, state.acc[0], rows_s, block_ids, g_s, lr, eps,
         pack_p=config.pack_of(table))
     return table, SparseOptState(acc=(acc,))
-  rows_b = config.row_index(ids.reshape(-1), ctx)
+  rows_b = _valid_rows(config.row_index(ids.reshape(-1), ctx),
+                       ids.reshape(-1), config)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
   # Replicated stream path: keep the NARROW geometry through the
   # all_gather and the sort — _stream_adagrad expands after sorting
@@ -703,7 +711,8 @@ def sparse_sgd_apply(table: jax.Array, ids: jax.Array, demb: jax.Array,
   """SGD on touched rows only (no slot state)."""
   ctx = ctx or Context.get()
   stream = _use_stream(impl)
-  rows_b = config.row_index(ids.reshape(-1), ctx)
+  rows_b = _valid_rows(config.row_index(ids.reshape(-1), ctx),
+                       ids.reshape(-1), config)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
   pack_p = config.pack_of(table)
   defer_pack = pack_p > 1 and stream and not config.should_shard(ctx)
@@ -807,7 +816,8 @@ def sparse_adam_apply(table: jax.Array, state: SparseOptState,
         'LazyAdam (per-row presence would decay neighboring logical '
         "rows' moments) — declare the table with lane_pack=False or "
         "scope emb_lane_pack='off' for it.")
-  rows_b = config.row_index(ids.reshape(-1), ctx)
+  rows_b = _valid_rows(config.row_index(ids.reshape(-1), ctx),
+                       ids.reshape(-1), config)
   demb = demb.reshape(-1, demb.shape[-1]).astype(table.dtype)
   rows_b, demb = _pad_to_world(rows_b, demb, ctx.world_size)
   m, v = state.acc

@@ -862,3 +862,22 @@ def test_bf16_table_storage_trains():
   assert (moved[touched].sum(axis=1) > 0).all()
   untouched = sorted(set(range(512)) - set(touched))
   assert moved[untouched].sum() == 0
+
+
+def test_adam_out_of_vocab_ids_do_not_decay_rows():
+  """LazyAdam updates moments on PRESENCE, so an out-of-vocab positive
+  id that mapped onto a real (mixed/padding) row would silently decay
+  that row's moments even with a zero gradient — the update entry
+  points enforce the same logical-id validity as lookup."""
+  from hybridbackend_tpu.embedding.sparse_update import (
+      init_adam_state, sparse_adam_apply)
+  cfg = TableConfig('av', 300, 8, shuffle_ids=True, sharded=False)
+  tbl = create_table(cfg, jax.random.PRNGKey(0))
+  st = init_adam_state(tbl)
+  m0 = np.asarray(st.acc[0]) + 1.0    # nonzero moments everywhere
+  st = type(st)(acc=(jnp.asarray(m0), st.acc[1]))
+  bad = jnp.asarray([300, 400, -1, 5000], jnp.int32)
+  t2, s2 = sparse_adam_apply(tbl, st, bad, jnp.zeros((4, 8)), cfg,
+                             0.1, step=1)
+  np.testing.assert_array_equal(np.asarray(t2), np.asarray(tbl))
+  np.testing.assert_array_equal(np.asarray(s2.acc[0]), m0)
