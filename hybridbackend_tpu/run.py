@@ -52,6 +52,30 @@ def _pick_port() -> int:
   return port
 
 
+def _relay_lines(src, dst_fd: int) -> None:
+  """Forward each complete line from a child pipe with ONE os.write.
+
+  A single write(2) of <= PIPE_BUF (4096 on Linux) bytes to a pipe is
+  atomic, so relayed lines never interleave mid-line across children;
+  longer lines are forwarded in PIPE_BUF chunks (only those can split).
+  Reading continuously also keeps the child from blocking on a full
+  pipe."""
+  try:
+    for line in iter(src.readline, b''):
+      for i in range(0, len(line), 4096):
+        try:
+          os.write(dst_fd, line[i:i + 4096])
+        except OSError:
+          return
+  except ValueError:  # pipe closed during shutdown
+    pass
+  finally:
+    try:
+      src.close()
+    except Exception:  # noqa: BLE001
+      pass
+
+
 def _run_script(argv):
   sys.argv = argv
   runpy.run_path(argv[0], run_name='__main__')
@@ -91,8 +115,24 @@ def main():
       procs.append(subprocess.Popen(
           [sys.executable, '-m', 'hybridbackend_tpu.run', *flags,
            opts.script] + opts.args, env=env,
+          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
           preexec_fn=_die_with_parent if sys.platform.startswith('linux')
           else None))
+    # Per-child pipes + an atomic line relay. Children MUST NOT share
+    # the launcher's stdout directly: even line-buffered, a child's
+    # 8 KB BufferedWriter can hit its boundary MID-line and emit the
+    # fragment as its own write(2), interleaving with a peer's line
+    # (captured in the wild: 'FINALFINAL 0 ...\n 1 ...'). The relay
+    # reads complete lines from each child and forwards each with one
+    # os.write — atomic on pipes up to PIPE_BUF.
+    import threading
+    relays = []
+    for p in procs:
+      for src, dst in ((p.stdout, 1), (p.stderr, 2)):
+        t = threading.Thread(target=_relay_lines, args=(src, dst),
+                             daemon=True)
+        t.start()
+        relays.append(t)
     import time
     code = 0
     try:
@@ -118,6 +158,9 @@ def main():
         except subprocess.TimeoutExpired:
           p.kill()  # a TERM-ignoring wedge must not hang the launcher
           p.wait()
+      # Drain trailing output before exiting (EOF after child death).
+      for t in relays:
+        t.join(timeout=5.0)
     sys.exit(code)
 
   # Child (or direct) execution path.
