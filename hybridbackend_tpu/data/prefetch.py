@@ -136,6 +136,14 @@ class DeviceIterator:
         self._q.get_nowait()
     except _queue.Empty:
       pass
+    # JOIN the producer (bounded): a daemon thread still inside a
+    # coordination-service RPC at interpreter exit dies under the C++
+    # client's teardown — observed as `terminate called ... FATAL:
+    # exception not rethrown` + SIGABRT in a launcher child that had
+    # finished its work (early-stop training leaves a live producer).
+    # The cancel event bounds the RPC to one <= 2 s slice.
+    if self._thread.is_alive():
+      self._thread.join(timeout=10.0)
 
   def __del__(self):
     # Abandoned iterators (early break, islice) must not leave a

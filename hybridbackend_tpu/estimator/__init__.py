@@ -184,8 +184,9 @@ class Trainer:
     if save_checkpoint_steps is None:
       save_checkpoint_steps = int(OPTIONS['save_checkpoint_steps'])
     it: Iterator = iter(batches)
+    sync_it = None
     if sync:
-      it = SyncReplicasIterator(it, ctx=self._ctx)
+      it = sync_it = SyncReplicasIterator(it, ctx=self._ctx)
     if prefetch:
       it = DeviceIterator(it, ctx=self._ctx,
                           transform=self._host_transform)
@@ -232,7 +233,9 @@ class Trainer:
           LOG.info('eval @ step %d: %s', step_no, results)
     finally:
       if isinstance(it, DeviceIterator):
-        it.close()
+        it.close()           # cascades to the wrapped sync iterator
+      elif sync_it is not None:
+        sync_it.close()      # bare sync mode (prefetch=False)
       if self._cache_runner is not None:
         # Prefetched batches may have been planned but never stepped;
         # apply their cache effects so slot metadata stays consistent

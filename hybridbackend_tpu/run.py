@@ -204,6 +204,16 @@ def main():
       except Exception:  # single-process / no cluster metadata
         pass
   _run_script([opts.script] + opts.args)
+  if not opts.no_distributed and 'HB_RUN_PROCESS_ID' in os.environ:
+    # Orderly coordination teardown after a successful script run:
+    # letting the interpreter exit with a live client has aborted
+    # children (C++ terminate) when background RPCs raced the client
+    # destructor.
+    try:
+      import jax
+      jax.distributed.shutdown()
+    except Exception:  # noqa: BLE001 — already shut down / never up
+      pass
 
 
 if __name__ == '__main__':
