@@ -120,7 +120,7 @@ class DeviceIterator:
       item = _put_batch(item, self._ctx, self._sharded)
     return item
 
-  def close(self) -> None:
+  def close(self, join: bool = True) -> None:
     """Cancel the producer (reference: HbCancelPrefetch)."""
     self._stop.set()
     # Unblock a producer waiting inside the wrapped iterator (e.g. a
@@ -142,14 +142,16 @@ class DeviceIterator:
     # exception not rethrown` + SIGABRT in a launcher child that had
     # finished its work (early-stop training leaves a live producer).
     # The cancel event bounds the RPC to one <= 2 s slice.
-    if self._thread.is_alive():
+    if join and self._thread.is_alive():
       self._thread.join(timeout=10.0)
 
   def __del__(self):
     # Abandoned iterators (early break, islice) must not leave a
-    # spinning producer pinning device batches.
+    # spinning producer pinning device batches. No join here: a GC
+    # finalizer must not stall the collecting thread behind a producer
+    # blocked in an uncancellable inner iterator.
     try:
-      self.close()
+      self.close(join=False)
     except Exception:
       pass
 

@@ -161,10 +161,11 @@ def plan_sharding(configs: Sequence,
     # Ask the REAL packing policy (config field + emb_lane_pack option
     # + world size) whether this table stores lane-packed — hand-rolled
     # predicates here drifted from it once already.
-    try:
-      packed = cfg.pack_factor(ctx) > 1
-    except AttributeError:   # plain duck-typed config in tests
-      packed = w <= 1
+    pf = getattr(cfg, 'pack_factor', None)
+    if callable(pf):
+      packed = pf(ctx) > 1
+    else:   # plain duck-typed config in tests
+      packed = getattr(cfg, 'lane_pack', None) is True or w <= 1
     if w <= 1:
       plans[cfg.name] = TablePlan(False, 'row', 'allgather',
                                   v * _phys_row_bytes(d, packed), 0)

@@ -59,14 +59,22 @@ def _relay_lines(src, dst_fd: int) -> None:
   atomic, so relayed lines never interleave mid-line across children;
   longer lines are forwarded in PIPE_BUF chunks (only those can split).
   Reading continuously also keeps the child from blocking on a full
-  pipe."""
+  pipe — which is why a downstream write failure (EPIPE: `... | head`
+  exited) switches to DISCARDING output rather than abandoning the
+  pipe: an undrained child would block forever inside print()."""
+  discard = False
   try:
     for line in iter(src.readline, b''):
-      for i in range(0, len(line), 4096):
+      if discard:
+        continue
+      view = memoryview(line)
+      while view:
         try:
-          os.write(dst_fd, line[i:i + 4096])
+          n = os.write(dst_fd, view[:4096])
         except OSError:
-          return
+          discard = True
+          break
+        view = view[n:]
   except ValueError:  # pipe closed during shutdown
     pass
   finally:
@@ -203,17 +211,20 @@ def main():
         jax.distributed.initialize()
       except Exception:  # single-process / no cluster metadata
         pass
-  _run_script([opts.script] + opts.args)
-  if not opts.no_distributed and 'HB_RUN_PROCESS_ID' in os.environ:
-    # Orderly coordination teardown after a successful script run:
-    # letting the interpreter exit with a live client has aborted
-    # children (C++ terminate) when background RPCs raced the client
-    # destructor.
-    try:
-      import jax
-      jax.distributed.shutdown()
-    except Exception:  # noqa: BLE001 — already shut down / never up
-      pass
+  try:
+    _run_script([opts.script] + opts.args)
+  finally:
+    # Orderly coordination teardown on EVERY exit path (success,
+    # exception, sys.exit): letting the interpreter exit with a live
+    # client has aborted children (C++ terminate) when background RPCs
+    # raced the client destructor — and on the exception path that
+    # SIGABRT would mask the real traceback.
+    if not opts.no_distributed and 'HB_RUN_PROCESS_ID' in os.environ:
+      try:
+        import jax
+        jax.distributed.shutdown()
+      except Exception:  # noqa: BLE001 — already shut down / never up
+        pass
 
 
 if __name__ == '__main__':
