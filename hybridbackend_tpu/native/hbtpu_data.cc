@@ -15,8 +15,11 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <map>
@@ -36,6 +39,7 @@
 #include <parquet/file_reader.h>
 #include <parquet/metadata.h>
 #include <parquet/schema.h>
+#include <parquet/statistics.h>
 
 namespace {
 
@@ -662,13 +666,25 @@ class ParquetAccess : public TableAccess {
     std::vector<std::shared_ptr<arrow::Array>> arrays(n);
     std::vector<int> slow_pos;        // positions needing the arrow path
     if (defs_.size() < static_cast<size_t>(nrows)) defs_.resize(nrows);
+    const auto rg_meta = pq->metadata()->RowGroup(chunk);
     for (size_t i = 0; i < n; ++i) {
       const FastCol& fc = fast_[i];
       if (!fc.eligible()) {
         slow_pos.push_back(static_cast<int>(i));
         continue;
       }
-      auto st = ReadFast(rg.get(), fc, nrows, &arrays[i]);
+      // When the chunk's statistics prove there are no nulls, skip the
+      // def-level decode entirely (~17% of decode time on the headline
+      // all-valid file). A lying null_count is still safe: ReadBatch
+      // then returns fewer values than rows, the short-read check
+      // fails, and the column re-reads through the arrow path.
+      bool no_nulls = fc.max_def == 0;
+      if (!no_nulls) {
+        auto stats = rg_meta->ColumnChunk(fc.pq_index)->statistics();
+        no_nulls = stats != nullptr && stats->HasNullCount() &&
+                   stats->null_count() == 0;
+      }
+      auto st = ReadFast(rg.get(), fc, nrows, no_nulls, &arrays[i]);
       if (!st.ok()) {
         // Nulls present (or any decode surprise): re-read this column
         // through the arrow path, which carries validity bitmaps.
@@ -738,31 +754,39 @@ class ParquetAccess : public TableAccess {
   }
 
   arrow::Status ReadFast(parquet::RowGroupReader* rg, const FastCol& fc,
-                         int64_t nrows, std::shared_ptr<arrow::Array>* out) {
+                         int64_t nrows, bool no_nulls,
+                         std::shared_ptr<arrow::Array>* out) {
     int64_t esize = fc.arrow_type->byte_width();
     ARROW_ASSIGN_OR_RAISE(std::shared_ptr<arrow::Buffer> buf,
                           arrow::AllocateBuffer(nrows * esize));
     auto col = rg->Column(fc.pq_index);
+    int max_def = no_nulls ? 0 : fc.max_def;
     arrow::Status st;
+    try {
     switch (fc.arrow_type->id()) {
       case arrow::Type::INT64:
         st = ReadFastTyped<parquet::Int64Reader, int64_t>(
-            col.get(), fc.max_def, nrows, buf->mutable_data());
+            col.get(), max_def, nrows, buf->mutable_data());
         break;
       case arrow::Type::INT32:
         st = ReadFastTyped<parquet::Int32Reader, int32_t>(
-            col.get(), fc.max_def, nrows, buf->mutable_data());
+            col.get(), max_def, nrows, buf->mutable_data());
         break;
       case arrow::Type::FLOAT:
         st = ReadFastTyped<parquet::FloatReader, float>(
-            col.get(), fc.max_def, nrows, buf->mutable_data());
+            col.get(), max_def, nrows, buf->mutable_data());
         break;
       case arrow::Type::DOUBLE:
         st = ReadFastTyped<parquet::DoubleReader, double>(
-            col.get(), fc.max_def, nrows, buf->mutable_data());
+            col.get(), max_def, nrows, buf->mutable_data());
         break;
       default:
         return arrow::Status::Invalid("not fast-path eligible");
+    }
+    } catch (const std::exception& e) {
+      // E.g. a page whose value count disagrees with the stats-implied
+      // no-null layout; the caller re-reads via the arrow path.
+      return arrow::Status::Invalid("low-level decode failed: ", e.what());
     }
     ARROW_RETURN_NOT_OK(st);
     *out = arrow::MakeArray(arrow::ArrayData::Make(
@@ -821,6 +845,59 @@ struct Task {
   int32_t chunk;
 };
 
+// Stage timing, enabled with HB_DATA_TIMING=1: accumulated wall time per
+// pipeline stage, dumped to stderr when the reader closes. The decode
+// stage runs on worker threads (sums across workers); wait/emit run on
+// the consumer thread. On a single-core host decode+emit+overhead ~= the
+// end-to-end step time; on multi-core hosts decode overlaps the consumer
+// and `wait` shows how often the consumer actually stalls.
+struct StageStats {
+  std::atomic<int64_t> decode_ns{0};   // TableAccess::ReadChunk (+ Open)
+  std::atomic<int64_t> wait_ns{0};     // consumer blocked on the queue
+  std::atomic<int64_t> emit_ns{0};     // RebatchBuffer::Take
+  std::atomic<int64_t> batches{0};
+  std::atomic<int64_t> chunks{0};
+  static bool enabled() {
+    static const bool on = [] {
+      const char* v = std::getenv("HB_DATA_TIMING");
+      return v != nullptr && v[0] != '\0' && v[0] != '0';
+    }();
+    return on;
+  }
+  void Dump() const {
+    if (!enabled()) return;
+    double b = std::max<int64_t>(batches.load(), 1);
+    std::fprintf(
+        stderr,
+        "[hbtpu_data] chunks=%lld batches=%lld decode=%.1fms (%.3fms/b) "
+        "wait=%.1fms (%.3fms/b) emit=%.1fms (%.3fms/b)\n",
+        static_cast<long long>(chunks.load()),
+        static_cast<long long>(batches.load()),
+        decode_ns.load() / 1e6, decode_ns.load() / 1e6 / b,
+        wait_ns.load() / 1e6, wait_ns.load() / 1e6 / b,
+        emit_ns.load() / 1e6, emit_ns.load() / 1e6 / b);
+  }
+};
+
+class StageTimer {  // adds elapsed ns to a counter when enabled
+ public:
+  explicit StageTimer(std::atomic<int64_t>* sink)
+      : sink_(StageStats::enabled() ? sink : nullptr) {
+    if (sink_ != nullptr) start_ = std::chrono::steady_clock::now();
+  }
+  ~StageTimer() {
+    if (sink_ != nullptr) {
+      *sink_ += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                    std::chrono::steady_clock::now() - start_)
+                    .count();
+    }
+  }
+
+ private:
+  std::atomic<int64_t>* sink_;
+  std::chrono::steady_clock::time_point start_;
+};
+
 class Reader {
  public:
   Reader(std::vector<std::string> files, std::vector<Task> tasks,
@@ -856,6 +933,7 @@ class Reader {
     cv_producer_.notify_all();
     cv_consumer_.notify_all();
     for (auto& t : workers_) t.join();
+    stats_.Dump();
   }
 
   // nrows>0: batch emitted; 0: end of data; <0: error (see last_error()).
@@ -864,6 +942,7 @@ class Reader {
     while (true) {
       std::shared_ptr<arrow::Table> table;
       {
+        StageTimer wait_timer(&stats_.wait_ns);
         std::unique_lock<std::mutex> lock(mu_);
         cv_consumer_.wait(lock, [this] {
           return !error_.empty() || ready_.count(next_emit_) ||
@@ -901,6 +980,8 @@ class Reader {
   }
 
   int64_t Emit(int64_t n, ColDesc* out, BatchToken** token) {
+    StageTimer emit_timer(&stats_.emit_ns);
+    stats_.batches += 1;
     auto t = std::make_unique<BatchToken>();
     auto st = buffer_.Take(n, out, t.get());
     if (!st.ok()) {
@@ -933,17 +1014,26 @@ class Reader {
       const Task& task = tasks_[idx];
       std::shared_ptr<arrow::Table> table;
       arrow::Status st;
-      auto it = cache.find(task.file);
-      if (it == cache.end()) {
-        std::unique_ptr<TableAccess> access;
-        st = (format_ == 1)
-            ? OrcAccess::Open(files_[task.file], cols_, mmap_, &access)
-            : ParquetAccess::Open(files_[task.file], cols_, mmap_, &access);
-        if (st.ok()) {
-          it = cache.emplace(task.file, std::move(access)).first;
+      try {
+        StageTimer decode_timer(&stats_.decode_ns);
+        stats_.chunks += 1;
+        auto it = cache.find(task.file);
+        if (it == cache.end()) {
+          std::unique_ptr<TableAccess> access;
+          st = (format_ == 1)
+              ? OrcAccess::Open(files_[task.file], cols_, mmap_, &access)
+              : ParquetAccess::Open(files_[task.file], cols_, mmap_,
+                                    &access);
+          if (st.ok()) {
+            it = cache.emplace(task.file, std::move(access)).first;
+          }
         }
+        if (st.ok()) st = it->second->ReadChunk(task.chunk, &table);
+      } catch (const std::exception& e) {
+        // Arrow/Parquet C++ throws on corrupt inputs; surface it as the
+        // reader error instead of std::terminate-ing the process.
+        st = arrow::Status::IOError("decode worker: ", e.what());
       }
-      if (st.ok()) st = it->second->ReadChunk(task.chunk, &table);
       {
         std::unique_lock<std::mutex> lock(mu_);
         if (!st.ok()) {
@@ -975,6 +1065,7 @@ class Reader {
   int64_t next_emit_ = 0;
   bool cancelled_ = false;
   std::string error_;
+  StageStats stats_;
   std::vector<std::thread> workers_;
 };
 
