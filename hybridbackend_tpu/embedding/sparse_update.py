@@ -85,6 +85,17 @@ OPTIONS.register(
         'the mean, so 2.0 has huge headroom; overflow never corrupts — '
         'see emb_update_overflow_fallback.')
 OPTIONS.register(
+    'emb_update_segment_sort', False, env='HB_EMB_UPDATE_SEGMENT_SORT',
+    doc='Sort stacked update lists per member segment (K batched '
+        'argsorts of B) instead of one global argsort of K·B before the '
+        'stream kernel. Exact either way. Measured on one v5e chip at '
+        'the flagship shape (26×8192 ids into [2.6M, 16]): the segment '
+        'form LOSES — 12.9 vs 8.3 ms for the full update path and ~6× '
+        'the compile time (XLA fuses the single big argsort better than '
+        '26 strided slice+sort+concat chains) — so the default is off; '
+        'kept as an option for shapes/backends where K·B is too large '
+        'to sort flat.')
+OPTIONS.register(
     'emb_update_overflow_fallback', True,
     env='HB_EMB_UPDATE_OVERFLOW_FALLBACK',
     doc='When an alltoall update bucket overflows, re-route that step '
@@ -173,20 +184,20 @@ def _stream_adagrad(table, acc, rows, g, lr, eps, pack_p: int = 1):
   """Sort + fused Pallas Adagrad (exact row-total semantics). ``lr``
   may be a traced scalar (e.g. a schedule value).
 
-  ``pack_p > 1``: ``rows``/``g`` are still in the LOGICAL narrow
-  geometry of a lane-packed table — sort them narrow (the reorder
-  gather then moves ``d``-wide rows, not the 128-lane expansion: 8x
-  less HBM traffic at d=16) and expand ONCE into the kernel's padded
-  HBM input. Sorting raw rows groups packed rows contiguously
-  (``r`` ascending ⇒ ``r//p`` ascending), so the expanded list
-  satisfies the kernel's sorted-block contract."""
+  ``pack_p > 1``: ``rows``/``g`` arrive in the LOGICAL narrow geometry
+  of a lane-packed table; expand FIRST, then sort. Sorting narrow and
+  expanding after moves 8x fewer gather bytes on paper, but measured
+  SLOWER end-to-end on one v5e chip (update_path_probe: expand→sort
+  6.83 ms vs sort→expand 8.29 ms at [2.6M, 16]/213k — XLA fuses the
+  lane one-hot into the sort's reorder gather, so the narrow order
+  just adds a second materialized pass)."""
   from hybridbackend_tpu.ops.pallas.scatter import (
       _pack_expand, adagrad_update_sorted)
+  if pack_p > 1:
+    rows, g = _pack_expand(rows, g.astype(table.dtype), pack_p)
   order = jnp.argsort(rows)
   rows = rows[order]
   g = g[order]
-  if pack_p > 1:
-    rows, g = _pack_expand(rows, g.astype(table.dtype), pack_p)
   interpret = jax.default_backend() != 'tpu'
   kwargs = _stream_kwargs(table, rows)
   return adagrad_update_sorted(table, acc, rows, g,
@@ -690,14 +701,15 @@ def sparse_adagrad_apply(table: jax.Array, state: SparseOptState,
 
 def _stream_sgd(table, rows, g, lr, pack_p: int = 1):
   # lr scales the payload, so traced learning rates work by construction.
-  # pack_p > 1: sort narrow, expand after (see _stream_adagrad).
+  # pack_p > 1: expand first, then sort (see _stream_adagrad — the
+  # narrow-sort order measured slower end-to-end).
   from hybridbackend_tpu.ops.pallas.scatter import (
       _pack_expand, scatter_add_sorted)
+  if pack_p > 1:
+    rows, g = _pack_expand(rows, g.astype(table.dtype), pack_p)
   order = jnp.argsort(rows)
   rows = rows[order]
   g = (-lr) * g[order]
-  if pack_p > 1:
-    rows, g = _pack_expand(rows, g.astype(table.dtype), pack_p)
   interpret = jax.default_backend() != 'tpu'
   kwargs = _stream_kwargs(table, rows)
   return scatter_add_sorted(table, rows, g,

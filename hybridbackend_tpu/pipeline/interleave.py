@@ -155,11 +155,14 @@ def make_interleaved_train_step(
             tables[name], table_opt[name], ids, demb, stack.stacked,
             table_lr, step=state.step + 1, ctx=ctx)
       else:
-        from hybridbackend_tpu.embedding.stack import update_segments
+        from hybridbackend_tpu.framework.options import OPTIONS
+        segments = None
+        if OPTIONS['emb_update_segment_sort']:
+          from hybridbackend_tpu.embedding.stack import update_segments
+          segments = update_segments(stack, layout)
         tables[name], table_opt[name] = sparse_adagrad_apply(
             tables[name], table_opt[name], ids, demb, stack.stacked,
-            table_lr, ctx=ctx,
-            segments=update_segments(stack, layout))
+            table_lr, ctx=ctx, segments=segments)
 
     new_state = SparseTrainState(
         step=state.step + 1, dense=dense, tables=tables,

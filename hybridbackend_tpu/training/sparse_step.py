@@ -27,6 +27,7 @@ from hybridbackend_tpu.embedding.sparse_update import (
     SparseOptState, init_adagrad_state, init_adam_state,
     sparse_adagrad_apply, sparse_adam_apply)
 from hybridbackend_tpu.framework.context import Context
+from hybridbackend_tpu.framework.options import OPTIONS
 from hybridbackend_tpu.models.feature import StackedFeatureExtractor
 from hybridbackend_tpu.training.train import replicate_over_mesh
 
@@ -186,11 +187,14 @@ def make_sparse_train_step(
             tables[name], table_opt[name], ids_by_stack[name], demb,
             stack.stacked, table_lr, step=state.step + 1, ctx=ctx)
       else:
-        from hybridbackend_tpu.embedding.stack import update_segments
+        segments = None
+        if OPTIONS['emb_update_segment_sort']:
+          from hybridbackend_tpu.embedding.stack import update_segments
+          segments = update_segments(stack, layouts[name])
         tables[name], table_opt[name] = sparse_adagrad_apply(
             tables[name], table_opt[name], ids_by_stack[name], demb,
             stack.stacked, table_lr, dedup=table_dedup, ctx=ctx,
-            segments=update_segments(stack, layouts[name]))
+            segments=segments)
 
     new_state = SparseTrainState(
         step=state.step + 1, dense=dense, tables=tables,
