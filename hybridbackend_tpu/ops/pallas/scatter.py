@@ -113,12 +113,20 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
       # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
       raw = rows_ref[pl.ds(ci, 1), :]                     # [1, chunk]
       local = raw - b * block_rows
+      # HIGHEST requests an fp32 contract, which Mosaic rejects on bf16
+      # operands ("Bad lhs type") — upcast the staged chunk in VMEM
+      # instead (exact, and the cast is [chunk, 128]-sized, noise next
+      # to the matmul).
+      upd_mm = upd_view
+      if (upd_view.dtype == jnp.bfloat16
+          and precision == jax.lax.Precision.HIGHEST):
+        upd_mm = upd_view.astype(jnp.float32)
       # Transposed one-hot via broadcast compare: [block_rows, chunk].
       onehot_t = (jax.lax.broadcasted_iota(
           jnp.int32, (block_rows, chunk), 0) == local).astype(
-              upd_view.dtype)
+              upd_mm.dtype)
       gsum_s[...] += jax.lax.dot_general(
-          onehot_t, upd_view,
+          onehot_t, upd_mm,
           dimension_numbers=(((1,), (0,)), ((), ())),
           precision=precision,
           preferred_element_type=jnp.float32).astype(gsum_s.dtype)
