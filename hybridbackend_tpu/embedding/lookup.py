@@ -54,13 +54,20 @@ def lookup(table: jax.Array, ids: jax.Array, config: TableConfig,
   """Look up ``ids`` (any shape) in a (possibly row-sharded) table.
 
   Returns embeddings of shape ``ids.shape + (dim,)``, batch-sharded like
-  ``ids``. Any flat size is accepted: sizes that do not divide the world
-  evenly are auto-padded with ``-1`` (no owner shard → zero embeddings,
-  zero grads) and sliced back — the reference's alltoallv takes
-  arbitrary sizes (``nccl_alltoallv.cc:200-350``); the static-shape
+  ``ids``. ``table`` may also be a :class:`~hybridbackend_tpu.embedding
+  .quant.QuantizedTable` (int8 serving residency) — dequantized after
+  the gather. Any flat size is accepted: sizes that do not divide the
+  world evenly are auto-padded with ``-1`` (no owner shard → zero
+  embeddings, zero grads) and sliced back — the reference's alltoallv
+  takes arbitrary sizes (``nccl_alltoallv.cc:200-350``); the static-shape
   analogue is padding.
   """
   ctx = ctx or Context.get()
+
+  from hybridbackend_tpu.embedding.quant import (
+      QuantizedTable, lookup_quantized)
+  if isinstance(table, QuantizedTable):
+    return lookup_quantized(table, ids, config, ctx=ctx)
 
   if config.should_shard(ctx):
     n = 1

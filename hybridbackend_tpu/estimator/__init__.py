@@ -484,7 +484,8 @@ class SparseTrainer(Trainer):
     return (self.state.dense, self.state.tables)
 
   def export_saved_model(self, path: str, example_batch,
-                         id_mappers=None) -> str:
+                         id_mappers=None,
+                         table_dtype: str = 'float32') -> str:
     """Export a STANDALONE serving bundle (reference ``export_all``
     semantics, ``saved_model.py:54-192``): the serving graph is rebuilt
     per-member from the trained state — stacked physical tables are
@@ -494,6 +495,11 @@ class SparseTrainer(Trainer):
     the trainer. Ragged (padded ids + ``col_mask``) inputs export
     per the signature's padded+mask contract; pass ``id_mappers``
     ({column: IdMapper}) to bundle dynamic-table id resolution.
+
+    ``table_dtype='int8'`` exports per-row symmetric int8 tables
+    (``embedding/quant.py``): ~4× smaller serving bundles and 4× fewer
+    gather bytes at serve time, dequantized after the gather; the dense
+    tower stays float.
 
     ``example_batch`` must carry every column the loss function reads
     (including a dummy label column). EVERY process must call this
@@ -565,6 +571,14 @@ class SparseTrainer(Trainer):
                                           dense_cols)
         _, aux = model_loss(dense, emb_f, dense_f, batch)
       return aux['preds']
+
+    if table_dtype == 'int8':
+      from hybridbackend_tpu.embedding.quant import quantize_table
+      serving_tables = {n: quantize_table(t)
+                        for n, t in serving_tables.items()}
+    elif table_dtype != 'float32':
+      raise ValueError(f'table_dtype must be float32 or int8, '
+                       f'got {table_dtype!r}')
 
     host_dense = jax.tree_util.tree_map(np.asarray, self.state.dense)
     return export(serving_fn, (host_dense, serving_tables),
