@@ -120,6 +120,23 @@ def main():
 
   cases['narrow'] = narrow_body
 
+  qtab = jnp.asarray(
+      (rng.randn(args.vocab, args.dim) * 20).astype(np.int8))
+  qscale = jnp.asarray(rng.rand(args.vocab).astype(np.float32) * 0.01)
+
+  def int8_body(carry, _):
+    # Serving-time quantized lookup: int8 narrow rows + f32 scales,
+    # dequant after the gather (embedding/quant.py form). Measures
+    # whether the gather is byte-rate- or row-rate-bound.
+    s, i = carry
+    ids = shift(i)
+    qe = jnp.take(qtab, ids, axis=0)
+    sc = jnp.take(qscale, ids, axis=0)
+    out = qe.astype(jnp.float32) * sc[:, None]
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8'] = int8_body
+
   def dot_body(carry, _):
     # One-hot matmul gather, blocked: 128-id chunks against the table
     # restricted to each chunk's sorted id range (static 2048-row

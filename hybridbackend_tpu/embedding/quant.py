@@ -2,10 +2,14 @@
 
 Beyond-reference, TPU-idiomatic: a served embedding table rarely needs
 f32 rows — per-row symmetric int8 keeps prediction drift at the
-quantization noise floor while cutting table HBM residency AND the
-serving gather's bytes ~4× (the gather is the dominant serving cost;
-see ``benchmarks/gather_probe.py``). The reference serves f32 tables
-only (``/root/reference/hybridbackend/tensorflow/training/saved_model.py``);
+quantization noise floor while cutting table HBM residency and bundle
+size ~4×. This is a CAPACITY win, not a latency one: the TPU row
+gather is row-rate-bound (~20-30 ns/row regardless of row width;
+``benchmarks/gather_probe.py`` measured the int8 narrow gather at
+6.5 ms vs 4.2 ms for the f32 lane-packed table at the flagship shape),
+so quantization buys 4× more vocabulary per chip at roughly unchanged
+predict latency. The reference serves f32 tables only
+(``/root/reference/hybridbackend/tensorflow/training/saved_model.py``);
 its GPU-cache layer solves the same capacity problem dynamically
 (``embedding/service.py:50-324``) — quantization is the static,
 zero-infrastructure alternative for inference.

@@ -497,9 +497,10 @@ class SparseTrainer(Trainer):
     ({column: IdMapper}) to bundle dynamic-table id resolution.
 
     ``table_dtype='int8'`` exports per-row symmetric int8 tables
-    (``embedding/quant.py``): ~4× smaller serving bundles and 4× fewer
-    gather bytes at serve time, dequantized after the gather; the dense
-    tower stays float.
+    (``embedding/quant.py``): ~4× smaller serving bundles / 4× more
+    vocab per chip, dequantized after the gather (a capacity win —
+    the TPU row gather is row-rate-bound, so predict latency is
+    roughly unchanged); the dense tower stays float.
 
     ``example_batch`` must carry every column the loss function reads
     (including a dummy label column). EVERY process must call this
