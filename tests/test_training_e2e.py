@@ -204,6 +204,49 @@ class TestCheckpoint:
                                     np.asarray(packed))
       mgr.close()
 
+  def test_grow_vocab_warm_start(self):
+    # Vocabulary expansion between runs (HB_CKPT_GROW_VOCAB): a stored
+    # [V1, d] table fills the row prefix of a grown [V2, d] template;
+    # the template's freshly-initialized tail provides the new rows.
+    from hybridbackend_tpu.framework.options import OPTIONS
+    rng = np.random.RandomState(8)
+    old = jnp.asarray(rng.randn(100, 8).astype(np.float32))
+    old_acc = jnp.full((100, 8), 0.7, jnp.float32)
+    with tempfile.TemporaryDirectory() as d:
+      mgr = CheckpointManager(d)
+      mgr.save(1, {'t': old, 'acc': old_acc, 'x': jnp.ones((4,))})
+      fresh = jnp.asarray(rng.randn(150, 8).astype(np.float32))
+      template = {'t': fresh, 'acc': jnp.full((150, 8), 0.1),
+                  'x': jnp.zeros((4,))}
+      # Default off: a smaller stored leaf is a hard error.
+      with pytest.raises(Exception):
+        mgr.restore(template)
+      with OPTIONS.override(ckpt_grow_vocab=True):
+        out = mgr.restore(template)
+      np.testing.assert_array_equal(np.asarray(out['t'][:100]),
+                                    np.asarray(old))
+      np.testing.assert_array_equal(np.asarray(out['t'][100:]),
+                                    np.asarray(fresh[100:]))
+      np.testing.assert_array_equal(np.asarray(out['acc'][:100]),
+                                    np.float32(0.7))
+      np.testing.assert_array_equal(np.asarray(out['acc'][100:]),
+                                    np.float32(0.1))
+      np.testing.assert_array_equal(np.asarray(out['x']), 1.0)
+      mgr.close()
+    # Lane-packed grown template: [V1, d] stored rows fill
+    # V1*d // 128 packed rows of a [V2/p, 128] template.
+    with tempfile.TemporaryDirectory() as d:
+      mgr = CheckpointManager(d)
+      old2 = jnp.asarray(rng.randn(128, 16).astype(np.float32))
+      mgr.save(1, {'t': old2})
+      tmpl = jnp.zeros((32, 128), jnp.float32)     # 256 logical rows
+      with OPTIONS.override(ckpt_grow_vocab=True):
+        out = mgr.restore({'t': tmpl})
+      np.testing.assert_array_equal(np.asarray(out['t'][:16]),
+                                    np.asarray(old2).reshape(16, 128))
+      np.testing.assert_array_equal(np.asarray(out['t'][16:]), 0)
+      mgr.close()
+
   def test_restore_without_checkpoint_returns_template(self):
     with tempfile.TemporaryDirectory() as d:
       mgr = CheckpointManager(d)
