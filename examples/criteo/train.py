@@ -65,6 +65,12 @@ def main():
   p.add_argument('--lr-dense', type=float, default=1e-3)
   p.add_argument('--sparse', action='store_true',
                  help='row-sparse table updates (no dense [V,D] grads)')
+  p.add_argument('--export', default='', metavar='DIR',
+                 help='sparse mode: export a standalone serving bundle '
+                      'after training')
+  p.add_argument('--export-int8', action='store_true',
+                 help='quantize exported tables to per-row int8 '
+                      '(4x smaller bundle)')
   p.add_argument('--cached', type=int, default=0, metavar='CAP',
                  help='EmbeddingService demo (implies --sparse): keep '
                       'the largest table in host DRAM behind a CAP-row '
@@ -187,6 +193,14 @@ def main():
       res = strainer.evaluate(sparse_batches(False))
       print(f'epoch {epoch}: loss={m["loss"]:.4f}, '
             f'auc={res["auc"]:.4f}, {dt:.1f}s')
+    if args.export:
+      example = next(sparse_batches(False))
+      path = strainer.export_saved_model(
+          args.export, example,
+          table_dtype='int8' if args.export_int8 else 'float32')
+      if hb.Context.get().is_chief:
+        print(f'exported serving bundle → {path}'
+              + (' (int8 tables)' if args.export_int8 else ''))
     return
 
   opt = multi_optimizer(optax.adagrad(args.lr_tables),
