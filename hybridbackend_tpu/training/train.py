@@ -169,38 +169,83 @@ def make_train_step(loss_fn: Callable[[Any, Dict[str, jax.Array]],
     loss_fn: ``(params, batch) -> (scalar_loss, aux_metrics)``. The loss
       must be a mean over the **global** batch.
     optimizer: optax transformation (possibly from ``multi_optimizer``).
-    params_template: params pytree used to infer per-leaf shardings when
-      ``comm_gradient_wire_dtype`` is set (the wire-compressed gradient
-      reduction needs explicit specs; without a template the option is
-      ignored for the dense path).
+    params_template: optional params pytree used to infer per-leaf
+      shardings when ``comm_gradient_wire_dtype`` is set. When omitted,
+      the template is taken from ``state.params`` at the first call (the
+      concrete ``TrainState`` carries committed shardings) — the option
+      never silently no-ops.
 
   Returns:
     ``step(state, batch) -> (state, metrics)`` jitted over the context
-    mesh with state donation.
+    mesh with state donation. When ``comm_gradient_wire_dtype`` is
+    requested and world > 1, ``metrics['wire_grad']`` reports whether
+    the compressed reduction is actually active for this step (``0.0``
+    = fell back to the f32 GSPMD reduction because a params leaf is
+    mesh-sharded — the structured sibling of the ``loss_exact`` flag).
   """
   ctx = ctx or Context.get()
   wire = _grad_wire_dtype()
-  grad_fn = None
-  if wire is not None and ctx.world_size > 1 and params_template is not None:
-    grad_fn = make_wire_grad_fn(loss_fn, params_template, ctx, wire)
-
-  def step(state: TrainState, batch):
-    if grad_fn is not None:
-      loss, aux, grads = grad_fn(state.params, batch)
-    else:
-      (loss, aux), grads = jax.value_and_grad(
-          loss_fn, has_aux=True)(state.params, batch)
-    updates, opt_state = optimizer.update(grads, state.opt_state,
-                                          state.params)
-    params = optax.apply_updates(state.params, updates)
-    new_state = TrainState(step=state.step + 1, params=params,
-                           opt_state=opt_state)
-    metrics = dict(aux)
-    metrics['loss'] = loss
-    return new_state, metrics
-
+  want_wire = wire is not None and ctx.world_size > 1
   donate = (0,) if donate_state else ()
-  return jax.jit(step, donate_argnums=donate)
+
+  def build(template):
+    grad_fn = None
+    if want_wire and template is not None:
+      grad_fn = make_wire_grad_fn(loss_fn, template, ctx, wire)
+
+    def step(state: TrainState, batch):
+      if grad_fn is not None:
+        loss, aux, grads = grad_fn(state.params, batch)
+      else:
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+      updates, opt_state = optimizer.update(grads, state.opt_state,
+                                            state.params)
+      params = optax.apply_updates(state.params, updates)
+      new_state = TrainState(step=state.step + 1, params=params,
+                             opt_state=opt_state)
+      metrics = dict(aux)
+      metrics['loss'] = loss
+      if want_wire:
+        metrics['wire_grad'] = jnp.float32(1.0 if grad_fn is not None
+                                           else 0.0)
+      return new_state, metrics
+
+    return jax.jit(step, donate_argnums=donate)
+
+  if not want_wire or params_template is not None:
+    return build(params_template)
+  return _FirstCallTemplatedStep(build)
+
+
+class _FirstCallTemplatedStep:
+  """Defers wire-grad-path construction until the first call supplies a
+  concrete ``TrainState`` (whose params carry committed shardings).
+
+  Keeps ``comm_gradient_wire_dtype`` working with zero extra arguments:
+  ``make_train_step`` callers that never pass ``params_template`` still
+  get the compressed reduction. Tracer params (a step built inside
+  another trace) fall back to the GSPMD path for that build only.
+  """
+
+  def __init__(self, build):
+    self._build = build
+    self._compiled = None
+
+  def _ensure(self, state):
+    if self._compiled is None:
+      params = state.params
+      if any(isinstance(l, jax.core.Tracer)
+             for l in jax.tree_util.tree_leaves(params)):
+        params = None   # can't read shardings off tracers
+      self._compiled = self._build(params)
+    return self._compiled
+
+  def __call__(self, state, batch):
+    return self._ensure(state)(state, batch)
+
+  def lower(self, state, batch):
+    return self._ensure(state).lower(state, batch)
 
 
 def make_eval_step(eval_fn: Callable[[Any, Dict[str, jax.Array]],

@@ -87,6 +87,48 @@ def test_hlo_bf16_allreduce():
   assert 'bf16' not in hlo_f
 
 
+def test_templateless_step_still_compresses():
+  """Round-4 order #5: ``make_train_step`` WITHOUT ``params_template``
+  must still emit the bf16 all-reduce (the template is derived from the
+  first concrete state) and report ``wire_grad=1.0``."""
+  ctx = Context.get()
+  opt = optax.sgd(0.1)
+  with hb.scope(comm_gradient_wire_dtype='bfloat16'):
+    state = TrainState.create(_params(), opt, ctx)
+    step = make_train_step(_loss_fn, opt, ctx, donate_state=False)
+    batch = _put(_toy_batch(np.random.RandomState(0)), ctx)
+    hlo = step.lower(state, batch).as_text()
+    assert 'all_reduce' in hlo and 'bf16' in hlo
+    state2, m = step(state, batch)
+    assert float(m['wire_grad']) == 1.0
+    assert np.isfinite(float(m['loss']))
+
+
+def test_wire_grad_metric_reports_fallback():
+  """With a mesh-sharded params leaf the step falls back to the GSPMD
+  f32 reduction — and says so via ``metrics['wire_grad'] == 0.0``
+  instead of only a log line (structured signal, round-4 order #5)."""
+  ctx = Context.get()
+  opt = optax.sgd(0.1)
+  table = jax.device_put(
+      jnp.ones((64, 4)), ctx.sharding(ctx.data_axes, None))
+
+  def loss_fn(params, batch):
+    emb = jnp.take(params['table'], batch['ids'], axis=0)
+    preds = jax.nn.sigmoid(emb.sum((1, 2)) + (batch['x'] @ params['w'])[:, 0])
+    return jnp.mean((preds - batch['label']) ** 2), {'preds': preds}
+
+  params = {'table': table, 'w': jnp.zeros((8, 1), jnp.float32)}
+  with hb.scope(comm_gradient_wire_dtype='bfloat16'):
+    state = TrainState.create(params, opt, ctx)
+    step = make_train_step(loss_fn, opt, ctx, donate_state=False)
+    rng = np.random.RandomState(2)
+    b = _toy_batch(rng)
+    b['ids'] = rng.randint(0, 64, (64, 2)).astype(np.int32)
+    _, m = step(state, _put(b, ctx))
+  assert float(m['wire_grad']) == 0.0
+
+
 def test_convergence_parity():
   """bf16-on-the-wire training tracks f32 training closely on the toy
   model (convergence parity, not bit equality)."""
