@@ -29,7 +29,8 @@ def main():
   p.add_argument('--repeats', type=int, default=2)
   p.add_argument('--json', action='store_true')
   p.add_argument('--variants', nargs='*', default=None,
-                 help='block_rows:chunk:precision triples')
+                 help='block_rows:chunk:precision[:dma_chunk[:window]] '
+                      'specs')
   args = p.parse_args()
 
   import jax
@@ -57,6 +58,7 @@ def main():
     parts = spec.split(':')
     br, ch, prec = int(parts[0]), int(parts[1]), parts[2]
     dmac = int(parts[3]) if len(parts) > 3 else 0
+    win = int(parts[4]) if len(parts) > 4 else -1
 
     def one_step(carry, _):
       table, acc, shift = carry
@@ -65,9 +67,10 @@ def main():
       # instead rotate the GRADIENTS (payload) by the carry — rows stay
       # fixed+sorted, the kernel still depends on the carry.
       g = upd * (1.0 + 1e-6 * shift)
+      kw = {} if win < 0 else {'window_rows': win}
       table, acc = adagrad_update_sorted(
           table, acc, base_rows, g, lr=0.1, block_rows=br, chunk=ch,
-          precision=prec, interpret=interpret, dma_chunk=dmac)
+          precision=prec, interpret=interpret, dma_chunk=dmac, **kw)
       return (table, acc, shift + 1.0), ()
 
     @jax.jit

@@ -55,6 +55,14 @@ OPTIONS.register(
         '133k updates on v5e; per-row gradient totals rounded to '
         'bf16 precision).')
 OPTIONS.register(
+    'emb_update_window_rows', -1, env='HB_EMB_UPDATE_WINDOW_ROWS',
+    doc='One-hot window of the stream update kernel (rows): sorted '
+        'chunks span narrow row ranges, so the one-hot matmul runs '
+        'against a dynamic-offset window this many rows tall instead '
+        'of the whole block (block_rows/window fewer MXU ops; '
+        'wider-spanning chunks take the exact full-block fallback). '
+        '-1 = kernel default (512); 0 = always full block.')
+OPTIONS.register(
     'emb_update_dma_chunk', 0, env='HB_EMB_UPDATE_DMA_CHUNK',
     doc='Update-list transfer granule of the stream kernel (rows per '
         'double-buffered DMA, a chunk multiple): decouples HBM '
@@ -171,6 +179,8 @@ def _stream_kwargs(table, rows, packs: bool = True):
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
   if OPTIONS['emb_update_dma_chunk']:
     kwargs['dma_chunk'] = int(OPTIONS['emb_update_dma_chunk'])
+  if int(OPTIONS['emb_update_window_rows']) >= 0:
+    kwargs['window_rows'] = int(OPTIONS['emb_update_window_rows'])
   v, d = table.shape
   streamed_vocab = v // _pack_factor(v, d) if packs else v
   tb = _touched_blocks_auto(streamed_vocab, rows.shape[0],

@@ -41,11 +41,49 @@ _BLOCK_ROWS = 1024   # table rows per grid step. The one-hot compare
                      # 1.4% end-to-end on the flagship 26-table step.
 _CHUNK = 128         # update rows DMA'd per inner iteration (smaller
                      # chunks waste less one-hot work on sparse blocks)
+_WINDOW_ROWS = 512   # one-hot window (rows): sorted chunks span narrow
+                     # row ranges, so the one-hot matmul runs against a
+                     # dynamic-offset window instead of the whole block
+                     # (block_rows/window fewer MXU ops; wider-spanning
+                     # chunks take the exact full-block fallback). 0 =
+                     # always full block.
+
+
+def _split_dots(onehot_bf16, upd, precision):
+  """One-hot × updates with ASYMMETRIC precision: the one-hot factor is
+  exactly 0/1 (bf16-representable), so an f32-exact contract needs only
+  the UPDATE operand split into bf16 limbs — 3 MXU passes instead of the
+  6 a symmetric ``Precision.HIGHEST`` f32×f32 costs (XLA's precision API
+  cannot express one-sided exactness; in-kernel we can).
+
+  hi/mid/lo reconstruction is exact for every f32 input: ``r1 = u - hi``
+  is exact (≤16 mantissa bits left), ``r2 = r1 - mid`` is exact (≤8
+  bits), so ``hi + mid + lo == u`` in real arithmetic and each product
+  against a 0/1 selector is the limb itself, accumulated in the MXU's
+  f32 accumulator.
+  """
+  def dot(u16):
+    return jax.lax.dot_general(
+        onehot_bf16, u16,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+  if (precision != jax.lax.Precision.HIGHEST
+      or upd.dtype == jnp.bfloat16):
+    # One bf16 pass: 'default' contract semantics — or bf16 updates,
+    # where a single pass is already exact.
+    return dot(upd.astype(jnp.bfloat16))
+  u = upd.astype(jnp.float32)
+  hi = u.astype(jnp.bfloat16)
+  r1 = u - hi.astype(jnp.float32)
+  mid = r1.astype(jnp.bfloat16)
+  lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+  return dot(hi) + dot(mid) + dot(lo)
 
 
 def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
                     upd_s, gsum_s, sems, *, block_rows, chunk,
-                    mode, eps, precision,
+                    mode, eps, precision, window_rows=0,
                     lr_ref=None, acc_ref=None, acc_out_ref=None,
                     touched=False, dma_chunk=0):
   """Grid dim 0 walks table blocks.
@@ -106,30 +144,53 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
   def _():
     gsum_s[...] = jnp.zeros_like(gsum_s)
 
+    win = window_rows if 0 < window_rows < block_rows else 0
+
     def accumulate(upd_view, c0):
       """One-hot matmul of chunk ``c0`` (update rows staged in
-      ``upd_view`` [chunk, lanes])."""
+      ``upd_view`` [chunk, lanes]).
+
+      With ``win`` set, the one-hot is computed against a ``win``-row
+      WINDOW at a dynamic (8-aligned) offset instead of the whole
+      block: the update list is row-sorted, so a chunk's valid rows
+      span a narrow range, and the MXU work drops from
+      ``block_rows × chunk`` to ``win × chunk`` per chunk. Chunks that
+      span wider than the window (sparse regions, segment gaps) take
+      the full-block path — exact either way.
+      """
       ci = c0 // chunk
       # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
       raw = rows_ref[pl.ds(ci, 1), :]                     # [1, chunk]
       local = raw - b * block_rows
-      # HIGHEST requests an fp32 contract, which Mosaic rejects on bf16
-      # operands ("Bad lhs type") — upcast the staged chunk in VMEM
-      # instead (exact, and the cast is [chunk, 128]-sized, noise next
-      # to the matmul).
-      upd_mm = upd_view
-      if (upd_view.dtype == jnp.bfloat16
-          and precision == jax.lax.Precision.HIGHEST):
-        upd_mm = upd_view.astype(jnp.float32)
-      # Transposed one-hot via broadcast compare: [block_rows, chunk].
-      onehot_t = (jax.lax.broadcasted_iota(
-          jnp.int32, (block_rows, chunk), 0) == local).astype(
-              upd_mm.dtype)
-      gsum_s[...] += jax.lax.dot_general(
-          onehot_t, upd_mm,
-          dimension_numbers=(((1,), (0,)), ((), ())),
-          precision=precision,
-          preferred_element_type=jnp.float32).astype(gsum_s.dtype)
+
+      def full_block():
+        onehot_t = (jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, chunk), 0) == local).astype(
+                jnp.bfloat16)
+        gsum_s[...] += _split_dots(onehot_t, upd_view, precision
+                                   ).astype(gsum_s.dtype)
+
+      if not win:
+        full_block()
+        return
+
+      valid = (local >= 0) & (local < block_rows)
+      vlo = jnp.min(jnp.where(valid, local, block_rows))
+      vhi = jnp.max(jnp.where(valid, local, -1))
+      w0 = jnp.minimum((vlo // 8) * 8, block_rows - win)
+      w0 = pl.multiple_of(jnp.maximum(w0, 0), 8)
+
+      @pl.when(vhi - w0 < win)
+      def _():
+        onehot_t = (jax.lax.broadcasted_iota(
+            jnp.int32, (win, chunk), 0) + w0 == local).astype(
+                jnp.bfloat16)
+        gsum_s[pl.ds(w0, win), :] += _split_dots(
+            onehot_t, upd_view, precision).astype(gsum_s.dtype)
+
+      @pl.when(vhi - w0 >= win)
+      def _():
+        full_block()
 
     if not dma_chunk:
       def process_chunk(c0):
@@ -344,7 +405,7 @@ def sorted_segment_totals(ids: jax.Array, g: jax.Array
 @functools.partial(jax.jit, static_argnames=('block_rows', 'chunk',
                                              'precision', 'interpret',
                                              'touched_blocks', 'pack',
-                                             'dma_chunk'))
+                                             'dma_chunk', 'window_rows'))
 def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                        updates: jax.Array,
                        block_ids: Optional[jax.Array] = None,
@@ -354,7 +415,8 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                        interpret: bool = False,
                        touched_blocks: int = 0,
                        pack: bool = True,
-                       dma_chunk: int = 0) -> jax.Array:
+                       dma_chunk: int = 0,
+                       window_rows: int = _WINDOW_ROWS) -> jax.Array:
   """``table.at[rows].add(updates)`` for SORTED rows, as a table stream.
 
   rows: int32 [N] ascending; -1 or >= vocab entries are ignored.
@@ -401,7 +463,7 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
     kernel = functools.partial(
         _scatter_kernel, block_rows=block_rows, chunk=chunk, mode='add',
         eps=0.0, precision=jax.lax.Precision(precision.lower()),
-        touched=touched, dma_chunk=dma_chunk)
+        touched=touched, dma_chunk=dma_chunk, window_rows=window_rows)
     imap = (lambda b, s: (s[0, b], 0)) if touched else \
         (lambda b, s: (b, 0))
     return pl.pallas_call(
@@ -448,7 +510,7 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
                                              'chunk', 'precision',
                                              'interpret',
                                              'touched_blocks', 'pack',
-                                             'dma_chunk'))
+                                             'dma_chunk', 'window_rows'))
 def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           rows: jax.Array, updates: jax.Array,
                           lr, eps: float = 1e-7,
@@ -459,7 +521,8 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                           interpret: bool = False,
                           touched_blocks: int = 0,
                           pack: bool = True,
-                          dma_chunk: int = 0
+                          dma_chunk: int = 0,
+                          window_rows: int = _WINDOW_ROWS
                           ) -> Tuple[jax.Array, jax.Array]:
   """Fused sparse Adagrad: one table stream updates accumulator AND
   table (``acc[r] += g²; table[r] -= lr·g/sqrt(acc[r]+eps)``), rows
@@ -510,7 +573,7 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
                       precision=jax.lax.Precision(precision.lower()),
                       lr_ref=lr_ref, acc_ref=acc_ref,
                       acc_out_ref=acc_out, touched=touched,
-                      dma_chunk=dma_chunk)
+                      dma_chunk=dma_chunk, window_rows=window_rows)
 
     imap = (lambda b, s, l: (s[0, b], 0)) if touched else \
         (lambda b, s, l: (b, 0))
@@ -562,7 +625,8 @@ __all__ = ['scatter_add_sorted', 'adagrad_update_sorted',
 @functools.partial(jax.jit, static_argnames=('b1', 'b2', 'eps',
                                              'block_rows', 'chunk',
                                              'precision', 'interpret',
-                                             'touched_blocks'))
+                                             'touched_blocks',
+                                             'window_rows'))
 def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                        rows: jax.Array, updates: jax.Array,
                        lr, step, b1: float = 0.9, b2: float = 0.999,
@@ -572,7 +636,8 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                        chunk: int = _CHUNK,
                        precision: str = 'highest',
                        interpret: bool = False,
-                       touched_blocks: int = 0
+                       touched_blocks: int = 0,
+                       window_rows: int = _WINDOW_ROWS
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
   """Fused sparse LazyAdam: one table stream updates both moments and
   the table on touched rows only (moments of untouched rows do NOT
@@ -613,7 +678,8 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                       chunk=chunk, mode='adam', eps=eps,
                       precision=jax.lax.Precision(precision.lower()),
                       lr_ref=lr_ref, acc_ref=(m_ref, v_ref),
-                      acc_out_ref=(m_out, v_out), touched=touched)
+                      acc_out_ref=(m_out, v_out), touched=touched,
+                      window_rows=window_rows)
 
     blk = (lambda b, s, l: (s[0, b], 0)) if touched else \
         (lambda b, s, l: (b, 0))
