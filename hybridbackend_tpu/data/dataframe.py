@@ -99,20 +99,74 @@ class Value:
       return [inner[s[i]:s[i + 1]] for i in range(len(s) - 1)]
     return expand(self.values, self.row_splits)
 
-  def to_padded(self, max_len: Optional[int] = None,
-                pad_value=0) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad a ragged_rank-1 value to ``[batch, max_len] (+inner shape)``.
+  def _coords(self) -> List[np.ndarray]:
+    """Nested coordinates of every flat value: ``[row, p_1, ..., p_r]``
+    where ``p_k`` is the value's position within its level-``k``
+    segment. Vectorized bottom-up walk over the split levels."""
+    splits = self.row_splits
+    r = len(splits)
+    level = []   # (parent_of_element, pos_within_parent) per level
+    for s in splits:
+      lens = np.diff(s)
+      parent = np.repeat(np.arange(len(lens)), lens)
+      pos = np.arange(int(s[-1])) - np.repeat(s[:-1], lens)
+      level.append((parent, pos))
+    coords = []
+    cur = np.arange(int(splits[-1][-1]), dtype=np.int64)
+    for k in range(r - 1, -1, -1):
+      parent, pos = level[k]
+      coords.append(pos[cur])
+      cur = parent[cur]
+    coords.append(cur)
+    return coords[::-1]
 
-    Returns ``(padded, mask)``; mask is float-free bool. This is the
+  def _level_max_lens(self) -> List[int]:
+    return [int(np.diff(s).max()) if len(s) > 1 else 0
+            for s in self.row_splits]
+
+  def to_padded(self, max_len=None,
+                pad_value=0) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a ragged value to the static device layout.
+
+    rank 1 → ``[batch, L] (+inner shape)``; rank 2 → ``[batch, S, L]``
+    (session-grouped sequences: S sessions of up to L events each) —
+    and so on for deeper nesting. ``max_len`` may be an int (innermost
+    level; other levels derive from data) or a tuple with one entry per
+    ragged level. Returns ``(padded, mask)`` with ``mask`` bool of the
+    padded shape (a rank-2 outer mask is ``mask.any(-1)``). This is the
     canonical device layout (XLA needs static shapes; the reference's
-    SparseTensor path maps here).
+    nested SparseTensor path, ``dataframe.py:282-396``, maps here).
     """
     if self.ragged_rank == 0:
       raise ValueError('to_padded requires a ragged value')
     if self.ragged_rank > 1:
-      raise NotImplementedError(
-          'padding of ragged_rank>1 flattens one level first; '
-          'use flatten_inner().to_padded()')
+      r = self.ragged_rank
+      if max_len is None:
+        lens = (None,) * r
+      elif np.ndim(max_len) == 0:
+        lens = (None,) * (r - 1) + (int(max_len),)
+      else:
+        lens = tuple(max_len)
+        if len(lens) != r:
+          raise ValueError(
+              f'max_len tuple must have {r} entries, got {lens}')
+      dims = []
+      for ml, m in zip(lens, self._level_max_lens()):
+        if ml is None:
+          ml = 1 << max(0, (max(m, 1) - 1)).bit_length()   # pow2 bucket
+        dims.append(int(ml))
+      n = self.batch_size
+      coords = self._coords()
+      inner = self.values.shape[1:]
+      padded = np.full((n, *dims) + inner, pad_value, self.values.dtype)
+      mask = np.zeros((n, *dims), np.bool_)
+      ok = np.ones(len(coords[0]), np.bool_)
+      for c, ml in zip(coords[1:], dims):
+        ok &= c < ml
+      sel = tuple(c[ok] for c in coords)
+      padded[sel] = self.values[ok]
+      mask[sel] = True
+      return padded, mask
     splits = self.row_splits[0]
     lengths = np.diff(splits)
     n = len(lengths)
@@ -140,17 +194,13 @@ class Value:
 
   def to_coo(self) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
     """COO export ``(indices [nnz, rank+1], values, dense_shape)`` —
-    parity with the reference's ``.to_sparse()`` (``dataframe.py:300+``)."""
-    if self.ragged_rank != 1:
-      raise NotImplementedError('to_coo supports ragged_rank 1')
-    splits = self.row_splits[0]
-    lengths = np.diff(splits)
-    n = len(lengths)
-    rows = np.repeat(np.arange(n), lengths)
-    cols = np.concatenate([np.arange(l) for l in lengths]) if n else \
-        np.zeros((0,), np.int64)
-    indices = np.stack([rows, cols], axis=1)
-    dense_shape = (n, int(lengths.max()) if n else 0)
+    parity with the reference's ``.to_sparse()`` for any ragged rank
+    (``dataframe.py:282-396``)."""
+    if self.ragged_rank == 0:
+      raise ValueError('to_coo requires a ragged value')
+    coords = self._coords()
+    indices = np.stack(coords, axis=1).astype(np.int64)
+    dense_shape = (self.batch_size, *self._level_max_lens())
     return indices, self.values, dense_shape
 
   def flatten_inner(self) -> 'Value':
@@ -251,24 +301,38 @@ def concat_columns(cols: Sequence[Column]) -> Column:
   return np.concatenate(cols)
 
 
+def _gather_segments(splits: np.ndarray, seg_idx: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+  """Select segments ``seg_idx`` of a split level: returns the flat
+  element indices of the chosen segments (in order) and the new
+  splits."""
+  starts = splits[:-1][seg_idx]
+  lens = np.diff(splits)[seg_idx]
+  new_splits = np.zeros(len(seg_idx) + 1, np.int64)
+  np.cumsum(lens, out=new_splits[1:])
+  total = int(new_splits[-1])
+  src = (np.repeat(starts, lens)
+         + (np.arange(total) - np.repeat(new_splits[:-1], lens)))
+  return src, new_splits
+
+
 def take_rows(col: Column, indices: np.ndarray) -> Column:
-  """Row-permute a column (used by shuffled rebatch)."""
+  """Row-permute a column (used by shuffled rebatch). Works at any
+  ragged rank: each split level gathers the segments its parent level
+  selected."""
   from hybridbackend_tpu import native
   if isinstance(col, Value):
-    if col.ragged_rank != 1:
-      raise NotImplementedError('shuffle of ragged_rank>1')
-    fast = native.ragged_take_rows(col.values, col.row_splits[0],
-                                   np.asarray(indices))
-    if fast is not None:
-      return Value(fast[0], [fast[1]])
-    splits = col.row_splits[0]
-    lengths = np.diff(splits)[indices]
-    new_splits = np.zeros(len(indices) + 1, np.int64)
-    np.cumsum(lengths, out=new_splits[1:])
-    src = np.concatenate([
-        np.arange(splits[i], splits[i + 1]) for i in indices
-    ]) if len(indices) else np.zeros((0,), np.int64)
-    return Value(col.values[src], [new_splits])
+    if col.ragged_rank == 1:
+      fast = native.ragged_take_rows(col.values, col.row_splits[0],
+                                     np.asarray(indices))
+      if fast is not None:
+        return Value(fast[0], [fast[1]])
+    seg = np.asarray(indices)
+    out_splits = []
+    for level in col.row_splits:
+      seg, new_splits = _gather_segments(np.asarray(level), seg)
+      out_splits.append(new_splits)
+    return Value(col.values[seg], out_splits)
   arr = np.asarray(col)
   fast = native.take_rows_dense(arr, np.asarray(indices))
   if fast is not None:

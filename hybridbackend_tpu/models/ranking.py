@@ -123,5 +123,46 @@ def din_apply(params: Dict[str, Any], query_emb: jax.Array,
   return jax.nn.sigmoid(logit)[..., 0]
 
 
+def din_session_init(rng: jax.Array, emb_dim: int,
+                     num_profile_features: int, num_dense: int,
+                     dnn_hidden_units: Sequence[int] = (256, 128, 64),
+                     att_hidden_size: Sequence[int] = (80, 40)
+                     ) -> Dict[str, Any]:
+  """Session-grouped DIN (nested-ragged consumer): behavior history
+  arrives as ``[B, S, L]`` sessions of events (the device layout of a
+  ``ragged_rank=2`` column, ``data/dataframe.py:to_padded``). Same
+  parameter shapes as :func:`din_init` — attention runs over SESSION
+  vectors instead of raw events."""
+  return din_init(rng, emb_dim, num_profile_features, num_dense,
+                  dnn_hidden_units, att_hidden_size)
+
+
+def din_session_apply(params: Dict[str, Any], query_emb: jax.Array,
+                      sess_keys_emb: jax.Array, sess_mask: jax.Array,
+                      profile_embs: Sequence[jax.Array],
+                      dense_features: Sequence[jax.Array] = (),
+                      att_weight_normalization: bool = False) -> jax.Array:
+  """query [B,D]; sess_keys_emb [B,S,L,D] embedded session events;
+  sess_mask [B,S,L] (the 2-level mask from ``to_padded``). Events pool
+  to a session vector by masked mean; candidate-keyed attention then
+  pools sessions (reference DIN doctrine, ``model.py:154-193``, lifted
+  one nesting level — the reference's nested-ragged data path feeds
+  exactly this grouping)."""
+  m = sess_mask.astype(jnp.float32)
+  denom = jnp.maximum(m.sum(axis=-1, keepdims=True), 1.0)
+  sess_vec = (sess_keys_emb * m[..., None]).sum(axis=-2) / denom  # [B,S,D]
+  sess_valid = sess_mask.any(axis=-1)                             # [B,S]
+  hist = attention_sequence_pooling(
+      params['attention'], query_emb, sess_vec, sess_valid,
+      weight_normalization=att_weight_normalization)
+  parts = [query_emb, hist] + list(profile_embs) + [
+      f.astype(jnp.float32) for f in dense_features]
+  x = jnp.concatenate(parts, axis=-1)
+  x = mlp_apply(params['dnn'], x, final_activation=jax.nn.relu)
+  logit = dense_apply(params['head'], x)
+  return jax.nn.sigmoid(logit)[..., 0]
+
+
 __all__ = ['stacked_dcn_v2_init', 'stacked_dcn_v2_apply',
-           'dlrm_init', 'dlrm_apply', 'din_init', 'din_apply']
+           'dlrm_init', 'dlrm_apply', 'din_init', 'din_apply',
+           'din_session_init', 'din_session_apply']

@@ -1,0 +1,192 @@
+"""Nested-ragged (ragged_rank >= 2) data path, end-to-end (round-4 #3).
+
+The reference carries arbitrary ``nested_row_splits`` through
+read -> rebatch -> ``.to_sparse()``
+(``/root/reference/hybridbackend/tensorflow/data/dataframe.py:282-396``)
+and tests it on nested-ragged Parquet. Here the device layout of a
+``list<list<T>>`` column is padded-dense ``[B, S, L]`` + a 2-level mask
+(``Value.to_padded``); COO export, shuffle, rebatch, and a model-side
+consumer (session-grouped DIN) close the path.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hybridbackend_tpu.data.dataframe import (
+    Field, Value, parse, take_rows)
+
+
+def _nested_rows(n, seed=0, vocab=50):
+  rng = np.random.RandomState(seed)
+  rows = []
+  for _ in range(n):
+    ns = rng.randint(0, 4)
+    rows.append([[int(x) for x in rng.randint(0, vocab,
+                                              rng.randint(1, 5))]
+                 for _ in range(ns)])
+  return rows
+
+
+def _value_fixture():
+  # row0 = [[1,2],[3]], row1 = [], row2 = [[4],[5,6,7]]
+  vals = np.array([1, 2, 3, 4, 5, 6, 7], np.int64)
+  s1 = np.array([0, 2, 3, 4, 7], np.int64)
+  s0 = np.array([0, 2, 2, 4], np.int64)
+  return Value(vals, [s0, s1])
+
+
+class TestNestedValue:
+
+  def test_to_list_roundtrip(self):
+    v = _value_fixture()
+    assert v.ragged_rank == 2 and v.batch_size == 3
+    assert v.to_list() == [[[1, 2], [3]], [], [[4], [5, 6, 7]]]
+
+  def test_to_padded_rank2(self):
+    v = _value_fixture()
+    p, m = v.to_padded()
+    assert p.shape == (3, 2, 4)          # S=2, L=pow2(3)=4
+    exp = np.zeros((3, 2, 4), np.int64)
+    exp[0, 0, :2] = [1, 2]
+    exp[0, 1, 0] = 3
+    exp[2, 0, 0] = 4
+    exp[2, 1, :3] = [5, 6, 7]
+    np.testing.assert_array_equal(p, exp)
+    assert m.sum() == 7 and not m[1].any()
+    # outer (session) mask derives from the 2-level mask
+    np.testing.assert_array_equal(m.any(-1),
+                                  [[True, True], [False, False],
+                                   [True, True]])
+
+  def test_to_padded_clips_per_level(self):
+    v = _value_fixture()
+    p, m = v.to_padded(max_len=(2, 2))   # inner clip drops the 7
+    assert p.shape == (3, 2, 2) and m.sum() == 6
+
+  def test_to_coo_rank2(self):
+    v = _value_fixture()
+    idx, vals, shape = v.to_coo()
+    assert shape == (3, 2, 3)
+    np.testing.assert_array_equal(vals, [1, 2, 3, 4, 5, 6, 7])
+    np.testing.assert_array_equal(
+        idx, [[0, 0, 0], [0, 0, 1], [0, 1, 0],
+              [2, 0, 0], [2, 1, 0], [2, 1, 1], [2, 1, 2]])
+
+  def test_take_rows_rank2(self):
+    v = _value_fixture()
+    t = take_rows(v, np.array([2, 0, 1]))
+    assert t.to_list() == [[[4], [5, 6, 7]], [[1, 2], [3]], []]
+    t2 = take_rows(v, np.array([0, 0]))  # repeats allowed
+    assert t2.to_list() == [[[1, 2], [3]], [[1, 2], [3]]]
+
+  def test_slice_concat_roundtrip(self):
+    v = _value_fixture()
+    rt = Value.concat([v.slice_rows(0, 2), v.slice_rows(2, 3)])
+    assert rt.to_list() == v.to_list()
+
+  def test_parse_emits_padded_plus_mask(self):
+    v = _value_fixture()
+    out = parse({'s': v}, [Field('s', np.int64, ragged_rank=2)])
+    assert out['s'].shape == (3, 2, 4)
+    assert out['s_mask'].shape == (3, 2, 4)
+
+
+class TestNestedPipeline:
+  """list<list<int64>> Parquet through ParquetDataset (mirrors the
+  reference's nested-ragged dataset test)."""
+
+  @pytest.fixture()
+  def nested_file(self, tmp_path):
+    rows = _nested_rows(100)
+    rng = np.random.RandomState(1)
+    tbl = pa.table({
+        'sess': pa.array(rows, type=pa.list_(pa.list_(pa.int64()))),
+        'flat': pa.array(rng.randint(0, 9, 100)),
+    })
+    path = str(tmp_path / 'nested.parquet')
+    pq.write_table(tbl, path, row_group_size=40)  # spans row groups
+    return path, rows
+
+  def test_read_matches_pandas(self, nested_file):
+    from hybridbackend_tpu.data import ParquetDataset
+    path, rows = nested_file
+    ds = ParquetDataset(path, batch_size=32)
+    ranks = {f.name: f.ragged_rank for f in ds.fields}
+    assert ranks['sess'] == 2 and ranks['flat'] == 0
+    got = []
+    for batch in ds:
+      v = batch['sess']
+      assert isinstance(v, Value) and v.ragged_rank == 2
+      got.extend(v.to_list())
+    norm = lambda lst: [[list(map(int, i)) for i in r] for r in lst]
+    assert norm(got) == rows
+
+  def test_rebatch_across_row_groups(self, nested_file):
+    # batch 48 > row_group 40: every batch crosses a group boundary.
+    from hybridbackend_tpu.data import ParquetDataset
+    path, rows = nested_file
+    got = []
+    for batch in ParquetDataset(path, batch_size=48):
+      got.extend(batch['sess'].to_list())
+    norm = lambda lst: [[list(map(int, i)) for i in r] for r in lst]
+    assert norm(got) == rows
+
+  def test_shuffled_read(self, nested_file):
+    from hybridbackend_tpu.data import ParquetDataset
+    path, rows = nested_file
+    ds = ParquetDataset(path, batch_size=25, shuffle=True, seed=3,
+                        shuffle_buffer=50)
+    got = []
+    for batch in ds:
+      got.extend(batch['sess'].to_list())
+    assert len(got) == 100
+    norm = lambda lst: sorted(
+        [tuple(tuple(map(int, i)) for i in r) for r in lst])
+    assert norm(got) == norm(rows)          # a permutation of the rows
+
+
+class TestSessionDinConsumer:
+  """The [B, S, L] + 2-level-mask layout drives a model: session-grouped
+  DIN (masked-mean session vectors -> candidate-keyed attention)."""
+
+  def test_forward_and_grad(self):
+    import jax
+    import jax.numpy as jnp
+    from hybridbackend_tpu.embedding import TableConfig, create_table, lookup
+    from hybridbackend_tpu.models import (
+        din_session_apply, din_session_init)
+
+    rows = _nested_rows(16, seed=5, vocab=64)
+    # Build the Value from python rows the way the read path does.
+    arr = pa.array(rows, type=pa.list_(pa.list_(pa.int64())))
+    from hybridbackend_tpu.data.dataframe import from_arrow
+    val = from_arrow(arr)
+    padded, mask = val.to_padded(max_len=(4, 4))
+
+    cfg = TableConfig('item', 64, 8)
+    table = create_table(cfg, jax.random.PRNGKey(0))
+    params = din_session_init(jax.random.PRNGKey(1), 8,
+                              num_profile_features=0, num_dense=0,
+                              dnn_hidden_units=(16, 8))
+    query_ids = jnp.asarray(np.arange(16) % 64, jnp.int32)
+
+    def fwd(table, params):
+      q = lookup(table, query_ids, cfg)
+      keys = lookup(table, jnp.asarray(padded, jnp.int32), cfg)
+      preds = din_session_apply(params, q, keys, jnp.asarray(mask), [])
+      return preds
+
+    preds = jax.jit(fwd)(table, params)
+    assert preds.shape == (16,)
+    assert np.all(np.isfinite(np.asarray(preds)))
+
+    # Gradients flow only into looked-up rows (query + MASKED events).
+    g = jax.grad(lambda t: fwd(t, params).sum())(table)
+    gn = np.abs(np.asarray(g)).sum(axis=1)
+    touched = set(np.asarray(query_ids).tolist())
+    touched |= set(np.asarray(padded)[np.asarray(mask)].tolist())
+    assert set(np.nonzero(gn)[0].tolist()) <= touched
+    assert set(np.asarray(query_ids).tolist()) <= \
+        set(np.nonzero(gn)[0].tolist())
