@@ -19,17 +19,21 @@ are CALIBRATED against compiled-HLO collective counts
 factor):
 
 * replicated — HBM ``V*D*4`` on EVERY device; forward free; backward
-  all-gathers the global (rows, grads) payload: ``~f*B*(D+1)*4`` per
-  device.
+  all-gathers the global (rows, grads) payload ``f*B*(D+1)*4`` per
+  device on the sparse path, or all-reduces the dense [V, D] gradient
+  ``2*f*V*D*4`` on the dense-param path (the model takes the min).
 * row-sharded, allgather exchange — HBM ``V*D*4/W``; forward
   all-gathers ids ``f*B*4`` and returns embeddings via reduce-scatter
   ``f*B*D*4``; backward all-gathers the cotangent ``f*B*D*4``; plus the
-  bucketed alltoall update exchange ``2*f*s*u*B/W*(D+1)*4``. Linear in
+  ONE-way bucketed update exchange ``f*s*(B/W)*(D+1)*4``. Linear in
   the GLOBAL batch — W-independent per device.
-* row-sharded, alltoall exchange — bucketed both ways:
-  ``2*f*s*u*(B/W)*(D+1)*4`` forward + the same backward — a ~``W/(2su)``
-  wire win over allgather (the reference alltoallv's whole point,
-  ``nccl_alltoallv.cc:200-350``).
+* row-sharded, alltoall exchange — static buckets of ``s*B/W`` rows per
+  device: ids out + embeddings back + cotangent back + one-way update
+  = ``f*s*(B/W)*(3D+2)*4`` total — a ~``W/s`` wire win over allgather
+  (the reference alltoallv's whole point,
+  ``nccl_alltoallv.cc:200-350``). The hierarchical two-hop form moves
+  the SAME per-device bytes (HLO-measured); its win is that hop-0
+  rides ICI.
 * column-sharded — HBM ``V*D*4/W``; forward ``f*B*4`` ids +
   ``f*B*D*4`` embedding alltoall; sensible for very large ``D``
   where per-row slices still fill lanes.
@@ -76,30 +80,60 @@ def _phys_row_bytes(d: int, packed: bool = False) -> int:
   return ((d + 127) // 128) * 128 * 4
 
 
-def _cost_replicated(v, d, b, w=1, packed=False):
-  # Backward is whichever collective the runtime would pick: the sparse
-  # (rows, grads) all-gather scales with the batch, the dense [V, D]
-  # gradient all-reduce with the table — a genuinely tiny table rides
-  # the dense path for near-zero cost regardless of batch.
+def _cost_replicated(v, d, b, w=1, packed=False, backward='auto'):
+  """``backward``: 'sparse' = the sparse-update path's (ids, grads)
+  all-gather (what ``sparse_*_apply`` ALWAYS emits for replicated
+  tables — bytes ∝ the global batch); 'dense' = the dense-param path's
+  [V, D] gradient all-reduce (what ``make_train_step`` emits when the
+  table lives in params); 'auto' = min of both, the planner's
+  assumption that the caller picks the cheaper formulation. The
+  calibration test pins 'sparse' against compiled HLO exactly
+  (tests/test_planner_calibration.py)."""
   f = _ring(w)
-  sparse_bwd = f * b * (d + 1) * 4
-  dense_bwd = 2 * f * v * d * 4
-  return v * _phys_row_bytes(d, packed), int(min(sparse_bwd, dense_bwd))
+  sparse_bwd = f * b * (d + 1) * 4      # ids all-gather + grads all-gather
+  dense_bwd = 2 * f * v * d * 4         # ring all-reduce of [V, D]
+  comm = {'sparse': sparse_bwd, 'dense': dense_bwd,
+          'auto': min(sparse_bwd, dense_bwd)}[backward]
+  return v * _phys_row_bytes(d, packed), int(comm)
+
+
+# NOTE on the unique fraction ``u``: bucket capacities are STATIC
+# (``cap = slack·ceil(b_local/W)``), so compiled-HLO wire bytes do not
+# depend on realized uniqueness — ``u`` is accepted for API parity but
+# no longer scales the bucketed terms (round-4 calibration: the old
+# ``u``-scaled formulas drifted 1.5–2x from HLO; the static forms below
+# match it to <0.1%).
 
 
 def _cost_row_allgather(v, d, b, w, u, slack, packed=False):
+  del u   # static buckets (see note above)
   f = _ring(w)
   fwd = f * (b * 4 + b * d * 4)        # ids all-gather + reduce-scatter
   bwd = f * b * d * 4                  # cotangent all-gather
-  upd = 2 * f * slack * u * (b / max(w, 1)) * (d + 1) * 4
+  # Gradient-return exchange is ONE-way (ids + per-row totals to the
+  # owner; nothing comes back): f·W·cap·(D+1)·4 per device.
+  upd = f * slack * (b / max(w, 1)) * (d + 1) * 4
   return v * _phys_row_bytes(d, packed) // w, int(fwd + bwd + upd)
 
 
 def _cost_row_alltoall(v, d, b, w, u, slack, packed=False):
+  del u   # static buckets (see note above)
   f = _ring(w)
-  # One exchange = ids out + payload back = (D+1) elements per row.
-  per_xchg = f * slack * max(1.0, u * b / max(w, 1)) * (d + 1) * 4
-  return v * _phys_row_bytes(d, packed) // w, int(2 * per_xchg)  # fwd + grad
+  bucket_rows = max(1.0, slack * b / max(w, 1))   # W·cap rows per device
+  fwd = f * bucket_rows * (4 + d * 4)   # ids out + embeddings back
+  bwd = f * bucket_rows * d * 4         # cotangent reverse alltoall
+  upd = f * bucket_rows * (d + 1) * 4   # grad-return (ids + totals)
+  return v * _phys_row_bytes(d, packed) // w, int(fwd + bwd + upd)
+
+
+def _cost_row_hierarchical(v, d, b, w, u, slack, packed=False):
+  """Two-hop (ICI-then-DCN) exchange. Per-DEVICE wire bytes equal the
+  flat alltoall's (HLO-measured identical — each hop's bucket capacity
+  shrinks by the hop's axis size, and the two hops compose back to the
+  flat volume); the strategy's win is WHERE the bytes ride (hop-0 stays
+  on ICI), which a single byte number cannot express — the planner
+  therefore never prefers it on bytes; it is a topology choice."""
+  return _cost_row_alltoall(v, d, b, w, u, slack, packed)
 
 
 def _cost_column(v, d, b, w, packed=False):

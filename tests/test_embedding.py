@@ -362,6 +362,56 @@ class TestForwardBucketedExchange:
            and re.search(big, l)]
     assert not bad, bad
 
+  def test_hlo_hierarchical_wire_volume(self):
+    """Sibling of test_hlo_forward_wire_volume for the HIERARCHICAL
+    path (round-4 order #6): on a (dcn=2, ici=4) mesh both hops'
+    embedding payloads must be bucketed — hop-0 [ici, cap0, D], hop-1
+    [dcn, cap1, D] — with no full-volume per-hop payload and no
+    global-batch exchange anywhere."""
+    import math
+    import re
+    import hybridbackend_tpu as hb
+    from hybridbackend_tpu.framework.context import (
+        Context, context_scope, DCN_AXIS, ICI_AXIS)
+    from jax.sharding import Mesh
+    # ratio 1.5 (not the 2.0 default): the dcn axis is only 2 wide, so
+    # ratio 2.0 makes cap1 == b_local and the hop legitimately skips
+    # bucketing — the assertion needs both hops strictly bucketed.
+    dim, vocab, batch, ratio = 8, 1024, 512, 1.5
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, (DCN_AXIS, ICI_AXIS))
+    ctx = Context(mesh)
+    with context_scope(ctx), mesh:
+      cfg = TableConfig('h', vocab, dim, sharded=True)
+      tbl = create_table(cfg, jax.random.PRNGKey(0), ctx)
+      b_local = batch // 8
+      cap0 = max(1, int(math.ceil(ratio * b_local / 4)))   # ici hop
+      cap1 = max(1, int(math.ceil(ratio * b_local / 2)))   # dcn hop
+      assert cap0 < b_local and cap1 < b_local
+      ids = jnp.asarray(
+          np.random.RandomState(4).randint(0, vocab, batch), jnp.int32)
+      with hb.scope(emb_lookup_bucket_ratio=ratio,
+                    emb_lookup_overflow_fallback=False):
+        hlo = jax.jit(
+            lambda t, i: lookup(t, i, cfg, ctx=ctx,
+                                strategy='hierarchical')
+        ).lower(tbl, ids).compile().as_text()
+    coll = [l for l in hlo.splitlines()
+            if 'all-to-all' in l or 'all-gather' in l]
+    # Both hops' bucketed embedding payloads present.
+    assert any(re.search(rf'f32\[(1,)?{cap0},{dim}\]', l) or
+               re.search(rf'f32\[4,{cap0},{dim}\]', l)
+               for l in coll), coll[:10]
+    assert any(re.search(rf'f32\[(1,)?{cap1},{dim}\]', l) or
+               re.search(rf'f32\[2,{cap1},{dim}\]', l)
+               for l in coll), coll[:10]
+    # No unbucketed per-hop payload ([*, b_local, D]) and no
+    # global-batch ([batch, D]) exchange.
+    for bad_rows in (b_local, batch):
+      bad = [l for l in coll
+             if re.search(rf'f32\[(1,|2,|4,|8,)?{bad_rows},{dim}\]', l)]
+      assert not bad, bad
+
   def test_composes_with_unique_ratio(self):
     """Dedup shrinks the exchange input; bucketing shrinks the per-peer
     payload — together the wire volume is ratio·u/W rows per peer."""

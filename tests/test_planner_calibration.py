@@ -19,17 +19,17 @@ from hybridbackend_tpu.embedding.sparse_update import (
     init_adagrad_state, sparse_adagrad_apply)
 from hybridbackend_tpu.utils.hlo_bytes import collective_bytes
 
-W, V, D, B = 8, 8192, 16, 1024
+W, V = 8, 8192
 
 
-def _measured_step_bytes(strategy):
+def _measured_step_bytes(strategy, d, b, sharded=True):
   """HLO-counted collective bytes of one training step's exchanges for
-  a [V, D] table at global batch B: lookup fwd+bwd + sparse update."""
-  cfg = TableConfig('cal', V, D)
+  a [V, d] table at global batch b: lookup fwd+bwd + sparse update."""
+  cfg = TableConfig('cal', V, d, sharded=sharded)
   tbl = create_table(cfg, jax.random.PRNGKey(0))
   rng = np.random.RandomState(0)
-  ids = jnp.asarray(rng.randint(0, V, B), jnp.int32)
-  cot = jnp.asarray(rng.randn(B, D).astype(np.float32))
+  ids = jnp.asarray(rng.randint(0, V, b), jnp.int32)
+  cot = jnp.asarray(rng.randn(b, d).astype(np.float32))
 
   # Non-trivial cotangent so the backward all-gather cannot constant-fold.
   def fwd(t):
@@ -41,7 +41,7 @@ def _measured_step_bytes(strategy):
     lk, lk_kinds = collective_bytes(txt, W)
 
     state = init_adagrad_state(tbl, 0.1)
-    demb = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    demb = jnp.asarray(rng.randn(b, d).astype(np.float32))
     txt2 = jax.jit(
         lambda t, s, i, g: sparse_adagrad_apply(t, s, i, g, cfg, 0.1)
     ).lower(tbl, state, ids, demb).compile().as_text()
@@ -49,21 +49,54 @@ def _measured_step_bytes(strategy):
   return lk + up, {'lookup': lk_kinds, 'update': up_kinds}
 
 
+def _predicted(strategy, d, b):
+  from hybridbackend_tpu.embedding.planner import (
+      _cost_row_allgather, _cost_row_alltoall, _cost_row_hierarchical)
+  fn = {'allgather': _cost_row_allgather,
+        'alltoall': _cost_row_alltoall,
+        'hierarchical': _cost_row_hierarchical}[strategy]
+  return fn(V, d, b, W, 1.0, 2.0)[1]
+
+
 def test_planner_bytes_match_hlo():
-  for strategy in ('allgather', 'alltoall'):
-    with hb.scope(emb_lookup_strategy=strategy):
-      plans = plan_sharding([TableConfig('cal', V, D)], {'cal': B})
-    measured, detail = _measured_step_bytes(strategy)
-    # Compare the MODELED strategy (force it through the candidate
-    # formula by scoping the strategy) against the measurement.
-    from hybridbackend_tpu.embedding.planner import (
-        _cost_row_allgather, _cost_row_alltoall)
-    if strategy == 'allgather':
-      _, predicted = _cost_row_allgather(V, D, B, W, 1.0, 2.0)
-    else:
-      _, predicted = _cost_row_alltoall(V, D, B, W, 1.0, 2.0)
+  """Round-4 order #6: the per-strategy byte formulas are pinned
+  against compiled HLO to within 1.25x (was 3x) at several (B, D)
+  points, hierarchical included. The lookup fwd+bwd terms and the
+  one-way update-exchange term each match HLO to <0.1% (the residual
+  is the 7-byte overflow-flag all-reduce)."""
+  shapes = {'allgather': [(1024, 16), (8192, 64)],
+            'alltoall': [(1024, 16), (8192, 64)],
+            'hierarchical': [(1024, 16)]}
+  for strategy, pts in shapes.items():
+    for b, d in pts:
+      measured, detail = _measured_step_bytes(strategy, d, b)
+      predicted = _predicted(strategy, d, b)
+      ratio = measured / max(predicted, 1)
+      assert 1 / 1.25 < ratio < 1.25, (
+          strategy, b, d, predicted, measured, detail)
+
+
+def test_replicated_sparse_backward_matches_hlo():
+  """The replicated-table sparse path always all-gathers (ids, grads):
+  the 'sparse' backward formula must pin it, and 'auto' must model the
+  dense-vs-sparse crossover (tiny table + big batch -> dense allreduce
+  is cheaper; the planner's min() picks it)."""
+  from hybridbackend_tpu.embedding.planner import _cost_replicated
+  for b, d in ((1024, 16), (8192, 16)):
+    measured, detail = _measured_step_bytes('allgather', d, b,
+                                            sharded=False)
+    _, predicted = _cost_replicated(V, d, b, W, backward='sparse')
     ratio = measured / max(predicted, 1)
-    assert 1 / 3 < ratio < 3, (strategy, predicted, measured, detail)
+    assert 1 / 1.25 < ratio < 1.25, (b, d, predicted, measured, detail)
+  # Crossover (model-level): small table + big batch -> dense wins;
+  # big table + small batch -> sparse wins.
+  _, auto_small = _cost_replicated(512, 16, 65536, W)
+  _, dense_small = _cost_replicated(512, 16, 65536, W, backward='dense')
+  assert auto_small == dense_small
+  _, auto_big = _cost_replicated(1 << 20, 16, 1024, W)
+  _, sparse_big = _cost_replicated(1 << 20, 16, 1024, W,
+                                   backward='sparse')
+  assert auto_big == sparse_big
 
 
 def test_planner_prefers_alltoall_at_scale():
