@@ -137,6 +137,47 @@ def main():
 
   cases['int8'] = int8_body
 
+  q_packed = jnp.asarray(
+      (rng.randn(args.vocab, args.dim) * 20).astype(np.int8)
+      .reshape(KV, 128))
+
+  def int8p_body(carry, _):
+    # Round-4 packed int8 serving lookup (embedding/quant.py): packed
+    # gather + ONE wide einsum fusing dequant and lane select (scale
+    # rides the one-hot) — no narrow intermediates.
+    s, i = carry
+    ids = shift(i)
+    prow = ids // P
+    lane = (ids % P).astype(jnp.int32)
+    qrows = jnp.take(q_packed, prow, axis=0)           # [n, 128] int8
+    q3 = qrows.reshape(args.n, P, args.dim).astype(jnp.float32)
+    sc = jnp.take(qscale, ids, axis=0)
+    ohs = (lane[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+           ).astype(jnp.float32) * sc[:, None]
+    out = jnp.einsum('np,npd->nd', ohs, q3)
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8p'] = int8p_body
+
+  def int8p2_body(carry, _):
+    # Same data flow, f32-lane-select formulation: wide cast on the 2-D
+    # [n, 128] form, then broadcast-multiply-reduce (VPU) instead of an
+    # einsum (which lowers to a tiny batched dot).
+    s, i = carry
+    ids = shift(i)
+    prow = ids // P
+    lane = (ids % P).astype(jnp.int32)
+    qrows = jnp.take(q_packed, prow, axis=0)           # [n, 128] int8
+    wide = qrows.astype(jnp.float32)
+    sc = jnp.take(qscale, ids, axis=0)
+    ohs = (lane[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+           ).astype(jnp.float32) * sc[:, None]
+    out = (wide.reshape(args.n, P, args.dim)
+           * ohs[..., None]).sum(-2)
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8p2'] = int8p2_body
+
   def dot_body(carry, _):
     # One-hot matmul gather, blocked: 128-id chunks against the table
     # restricted to each chunk's sorted id range (static 2048-row

@@ -69,9 +69,11 @@ def test_lookup_sparse_combines_quantized():
   np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_quantized_lookup_rejected():
+def test_sharded_quantized_lookup_requires_packed():
+  """Round-4: sharded int8 serving EXISTS for the lane-packed residency
+  (test_sharded_int8_lookup); the unpacked legacy form still guards."""
   cfg = TableConfig('shq', 4096, DIM)    # sharded by default (world 8)
-  qt = quantize_table(np.zeros((4096, DIM), np.float32))
+  qt = quantize_table(np.zeros((4096, DIM), np.float32), pack=False)
   ctx = hb.Context.get()
   if not cfg.should_shard(ctx):
     pytest.skip('single-device context')
@@ -127,3 +129,48 @@ def test_int8_export_cold_serve(tmp_path):
                  if getattr(p, 'dtype', None) == np.int8]
   assert len(int8_leaves) >= 1
   assert sum(p.size for p in int8_leaves) >= 3 * 200 * DIM
+
+
+def test_packed_residency_and_fused_select():
+  """Round-4: narrow int8 tables store lane-packed ([V/p, 128]) and the
+  lookup fuses dequant + lane select — results identical to the
+  unpacked form."""
+  rng = np.random.RandomState(3)
+  t = (rng.randn(1024, 16) * np.exp(rng.randn(1024))[:, None]
+       ).astype(np.float32)
+  qt = quantize_table(t)
+  assert qt.pack == 8 and qt.q.shape == (128, 128)
+  qtu = quantize_table(t, pack=False)
+  assert qtu.pack == 1
+  np.testing.assert_array_equal(dequantize_table(qt),
+                                dequantize_table(qtu))
+  cfg = TableConfig('q', 1024, 16, sharded=False)
+  ids = np.r_[rng.randint(0, 1024, 200), [-1, 2000]].astype(np.int32)
+  out_p = np.asarray(lookup_quantized(qt, jnp.asarray(ids), cfg))
+  out_u = np.asarray(lookup_quantized(qtu, jnp.asarray(ids), cfg))
+  np.testing.assert_allclose(out_p, out_u, rtol=1e-6, atol=1e-7)
+  assert np.all(out_p[-2:] == 0)      # invalid ids read zeros
+
+
+def test_sharded_int8_lookup():
+  """Round-4: over-HBM int8 bundles serve SHARDED — shard_quantized +
+  the allgather-exchange quantized lookup match the replicated path
+  on the 8-device mesh (incl. invalid ids and a non-divisible vocab)."""
+  from hybridbackend_tpu.embedding.quant import shard_quantized
+  ctx = hb.Context.get()
+  rng = np.random.RandomState(4)
+  v = 1000 * 8   # packed rows 1000: pads to a world multiple
+  t = (rng.randn(v, 16) * np.exp(rng.randn(v))[:, None]
+       ).astype(np.float32)
+  qt = quantize_table(t)
+  sq = shard_quantized(qt, ctx)
+  assert len(sq.q.sharding.device_set) == ctx.world_size
+  cfg = TableConfig('qs', v, 16, sharded=True)
+  ids = np.r_[rng.randint(0, v, 333), [-1, v + 7]].astype(np.int32)
+  out = np.asarray(jax.jit(
+      lambda q, i: lookup_quantized(q, i, cfg, ctx=ctx)
+  )(sq, jnp.asarray(ids)))
+  cfg_r = TableConfig('qs', v, 16, sharded=False)
+  want = np.asarray(lookup_quantized(qt, jnp.asarray(ids), cfg_r))
+  np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+  assert np.all(out[-2:] == 0)
