@@ -8,6 +8,9 @@ plus user-profile features, into a DNN.
 
   python examples/taobao/train_din.py --synthesize --steps 200 --cpu 8
   python examples/taobao/train_din.py --synthesize --sparse   # row-sparse
+  python examples/taobao/train_din.py --synthesize --sessions # nested
+                                     # ragged list<list> history through
+                                     # the session-grouped DIN
 """
 
 import os as _os
@@ -26,7 +29,7 @@ USER_VOCAB = 20_000
 CATE_VOCAB = 1_000
 
 
-def synthesize(path: str, rows: int) -> None:
+def synthesize(path: str, rows: int, sessions: bool = False) -> None:
   import pandas as pd
   rng = np.random.RandomState(0)
   # Users have a preferred category; they click items of that category
@@ -48,8 +51,16 @@ def synthesize(path: str, rows: int) -> None:
   for i in range(rows):
     n = rng.randint(1, 20)
     hist_items = (pref[i] + CATE_VOCAB * rng.randint(
-        0, active_items // CATE_VOCAB, n))
-    hists.append(hist_items.astype(np.int64).tolist())
+        0, active_items // CATE_VOCAB, n)).astype(np.int64).tolist()
+    if sessions:
+      # Session-grouped history (nested ragged, reference
+      # dataframe.py:282-396): split the click stream into 1-4
+      # sessions of consecutive events.
+      ns = rng.randint(1, 5)
+      cuts = sorted(rng.randint(0, n + 1, ns - 1).tolist())
+      bounds = [0] + cuts + [n]
+      hist_items = [hist_items[a:b] for a, b in zip(bounds, bounds[1:])]
+    hists.append(hist_items)
   match = (item_cate == pref).astype(np.float32)
   p = 0.1 + 0.8 * match
   label = (rng.rand(rows) < p).astype(np.float32)
@@ -73,6 +84,12 @@ def main():
   p.add_argument('--sparse', action='store_true',
                  help='row-sparse table updates (Pallas stream kernel '
                       'on TPU); uses SparseTrainer raw mode')
+  p.add_argument('--sessions', action='store_true',
+                 help='session-grouped history: a nested-ragged '
+                      'list<list<int64>> Parquet column padded to '
+                      '[B, S, L] + 2-level mask, consumed by '
+                      'din_session_apply')
+  p.add_argument('--max-sessions', type=int, default=4)
   p.add_argument('--cpu', type=int, default=0)
   args = p.parse_args()
 
@@ -89,18 +106,24 @@ def main():
   from hybridbackend_tpu.data import Field
   from hybridbackend_tpu.embedding import TableConfig, lookup
   from hybridbackend_tpu.models import (
-      EmbeddingSpec, din_apply, din_init, extract_features, init_tables)
+      EmbeddingSpec, din_apply, din_init, din_session_apply,
+      din_session_init, extract_features, init_tables)
   from hybridbackend_tpu.training import LoggingHook, multi_optimizer
 
+  if args.sessions and args.sparse:
+    raise SystemExit('--sessions uses the dense path (drop --sparse)')
+  if args.sessions and args.data == '/tmp/taobao_sample.parquet':
+    args.data = '/tmp/taobao_sessions.parquet'
   if args.synthesize or not os.path.exists(args.data):
     print(f'synthesizing {args.rows} rows → {args.data}')
-    synthesize(args.data, args.rows)
+    synthesize(args.data, args.rows, sessions=args.sessions)
 
   item_cfg = TableConfig('item', ITEM_VOCAB, args.dim)
   user_cfg = TableConfig('user', USER_VOCAB, args.dim)
   key = jax.random.PRNGKey(0)
   k_tab, k_net = jax.random.split(key)
-  net = din_init(k_net, args.dim, num_profile_features=1, num_dense=0)
+  net = (din_session_init if args.sessions else din_init)(
+      k_net, args.dim, num_profile_features=1, num_dense=0)
 
   def din_loss(net_params, query, keys, profile, batch):
     preds = din_apply(net_params, query, keys, batch['hist_mask'],
@@ -138,8 +161,18 @@ def main():
     def loss_fn(params, batch):
       tables = params['tables']
       query = lookup(tables['item'], batch['item'], item_cfg)    # [B,D]
-      keys = lookup(tables['item'], batch['hist'], item_cfg)     # [B,L,D]
+      # --sessions: hist is [B, S, L] (+mask) from the rank-2 ragged
+      # column; lookup broadcasts over the extra axis and
+      # din_session_apply pools events -> sessions -> history.
+      keys = lookup(tables['item'], batch['hist'], item_cfg)
       profile = lookup(tables['user'], batch['user'], user_cfg)
+      if args.sessions:
+        preds = din_session_apply(params['net'], query, keys,
+                                  batch['hist_mask'], [profile])
+        preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
+        y = batch['label']
+        pel = -(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+        return jnp.mean(pel), {'preds': preds, 'per_example_loss': pel}
       return din_loss(params['net'], query, keys, profile, batch)
 
     opt = multi_optimizer(optax.adagrad(0.1), optax.adam(1e-3))(params)
@@ -148,7 +181,10 @@ def main():
                          group_key='user')
 
   ctx = hb.Context.get()
-  fields = [Field('hist', ragged_rank=1, max_len=args.max_hist)]
+  fields = [Field('hist', ragged_rank=2,
+                  max_len=(args.max_sessions, args.max_hist))
+            if args.sessions else
+            Field('hist', ragged_rank=1, max_len=args.max_hist)]
 
   def add_cand_hist(b):
     if args.sparse:

@@ -36,14 +36,16 @@ class Field:
     shape: inner dense shape of each element (after ragged nesting).
     default_value: fill value used by ``populate_defaults`` and padding.
     max_len: static padded length per ragged dimension on device
-      (None = derive from data, rounded up to a power of two).
+      (None = derive from data, rounded up to a power of two). For
+      ragged_rank >= 2 a tuple gives one entry per ragged level
+      (an int applies to the innermost level only).
   """
   name: str
   dtype: Any = np.int64
   ragged_rank: int = 0
   shape: Tuple[int, ...] = ()
   default_value: Any = 0
-  max_len: Optional[int] = None
+  max_len: Union[int, Tuple[int, ...], None] = None
 
   def __post_init__(self):
     object.__setattr__(self, 'dtype', np.dtype(self.dtype))
