@@ -34,14 +34,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_ROWS = 1024   # table rows per grid step. The one-hot compare
-                     # cost grows with block_rows while per-block
-                     # streaming overhead shrinks: on one v5e chip 1024
-                     # beat 2048 by 12% at [1M, 32]/133k updates and by
-                     # 1.4% end-to-end on the flagship 26-table step.
+_BLOCK_ROWS = 2048   # table rows per grid step of the add/adagrad
+                     # streams. Pre-window, the one-hot matmul scaled
+                     # with block_rows and 1024 won; the round-4
+                     # windowed one-hot decouples them, and 2048 halves
+                     # the per-iteration fixed cost: flagship exact
+                     # step 7.60 -> 7.19 ms on one v5e chip (2048+win
+                     # 256 vs 1024+win 512). 4096 OOMs scoped VMEM
+                     # (4 block operands double-buffered + gsum).
+_BLOCK_ROWS_ADAM = 1024  # LazyAdam streams THREE state arrays (table,
+                     # m, v, each in+out): 2048 blocks put 12 MB of
+                     # double-buffered operands against the 16 MB VMEM
+                     # budget at d=128 — stay at 1024.
 _CHUNK = 128         # update rows DMA'd per inner iteration (smaller
                      # chunks waste less one-hot work on sparse blocks)
-_WINDOW_ROWS = 512   # one-hot window (rows): sorted chunks span narrow
+_WINDOW_ROWS = 256   # one-hot window (rows): sorted chunks span narrow
                      # row ranges, so the one-hot matmul runs against a
                      # dynamic-offset window instead of the whole block
                      # (block_rows/window fewer MXU ops; wider-spanning
@@ -632,7 +639,7 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
                        lr, step, b1: float = 0.9, b2: float = 0.999,
                        eps: float = 1e-8,
                        block_ids: Optional[jax.Array] = None,
-                       block_rows: int = _BLOCK_ROWS,
+                       block_rows: int = _BLOCK_ROWS_ADAM,
                        chunk: int = _CHUNK,
                        precision: str = 'highest',
                        interpret: bool = False,
