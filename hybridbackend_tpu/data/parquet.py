@@ -281,6 +281,10 @@ class ParquetDataset:
         # The authoritative type check: only what the C++ plane emits.
         if pa.types.is_list(t) or pa.types.is_large_list(t):
           t = t.value_type
+          if pa.types.is_list(t) or pa.types.is_large_list(t):
+            t = t.value_type   # rank 2 (list<list<T>>) is native
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+              return False     # rank >= 3 stays on the Python path
           return (pa.types.is_integer(t)
                   or pa.types.is_float32(t) or pa.types.is_float64(t))
         if pa.types.is_string(t) or pa.types.is_large_string(t):

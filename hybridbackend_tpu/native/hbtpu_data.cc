@@ -82,7 +82,9 @@ struct ColDesc {  // must match the ctypes Structure on the Python side
   int64_t num_values;
   const int64_t* splits;  // int64[nrows+1] when ragged, else nullptr
   int32_t dtype;
-  int32_t ragged;
+  int32_t ragged;         // 0 dense, 1 list, 2 string, 3 list<list>
+  const int64_t* splits2; // rank-2: inner splits int64[num_inner+1]
+  int64_t num_inner;      // rank-2: count of inner lists
 };
 
 // Keeps every buffer referenced by an emitted batch alive.
@@ -254,7 +256,15 @@ class RebatchBuffer {
     }
     bool ragged = first->type_id() == arrow::Type::LIST ||
                   first->type_id() == arrow::Type::LARGE_LIST;
-    if (ragged) return EmitRagged(c, spans, n, perm, out, token);
+    if (ragged) {
+      std::shared_ptr<arrow::Array> hold;
+      const arrow::Array& child = ListValues(*first, &hold);
+      if (child.type_id() == arrow::Type::LIST ||
+          child.type_id() == arrow::Type::LARGE_LIST) {
+        return EmitNestedRagged(c, spans, n, perm, out, token);
+      }
+      return EmitRagged(c, spans, n, perm, out, token);
+    }
     if (first->type_id() == arrow::Type::STRING ||
         first->type_id() == arrow::Type::LARGE_STRING) {
       return EmitString(c, spans, n, perm, out, token);
@@ -565,6 +575,172 @@ class RebatchBuffer {
     out->values = dst;
     out->splits = splits;
     token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(sbuf)));
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(vbuf)));
+    return arrow::Status::OK();
+  }
+
+  arrow::Status EmitNestedRagged(int c, const std::vector<Span>& spans,
+                                 int64_t n,
+                                 const std::vector<int64_t>& perm,
+                                 ColDesc* out, BatchToken* token) {
+    // rank-2 list<list<prim>> column (reference nested row_splits,
+    // dataframe.py:282-396): emitted as values + TWO rebased split
+    // levels — outer int64[n+1] indexing inner lists, inner
+    // int64[num_inner+1] indexing values. Deeper nesting stays on the
+    // Python path (the dataset-level type gate routes it there).
+    struct SpanCtx {
+      std::shared_ptr<arrow::Array> outer;
+      std::shared_ptr<arrow::Array> hold_in;
+      const arrow::Array* inner;
+      std::shared_ptr<arrow::Array> hold_leaf;
+      PrimView leaf;
+    };
+    std::vector<SpanCtx> ctxs(spans.size());
+    int32_t code = DT_INVALID;
+    int64_t esize = 0;
+    for (size_t s = 0; s < spans.size(); ++s) {
+      SpanCtx& ctx = ctxs[s];
+      ARROW_RETURN_NOT_OK(SpanArray(spans[s], c, &ctx.outer));
+      ctx.inner = &ListValues(*ctx.outer, &ctx.hold_in);
+      if (ctx.inner->type_id() != arrow::Type::LIST &&
+          ctx.inner->type_id() != arrow::Type::LARGE_LIST) {
+        return arrow::Status::Invalid("column ", cols_[c],
+                                      ": expected list<list<T>>");
+      }
+      const arrow::Array& leaf = ListValues(*ctx.inner, &ctx.hold_leaf);
+      if (leaf.type_id() == arrow::Type::LIST ||
+          leaf.type_id() == arrow::Type::LARGE_LIST) {
+        return arrow::Status::Invalid(
+            "column ", cols_[c],
+            ": ragged_rank > 2 is not native; read via the Python path");
+      }
+      if (s == 0) {
+        code = ArrowTypeToCode(*leaf.type());
+        if (code == DT_INVALID) {
+          return arrow::Status::Invalid(
+              "unsupported nested ragged value dtype for ", cols_[c]);
+        }
+        esize = DTypeSize(code);
+      }
+      ARROW_RETURN_NOT_OK(GetPrimView(leaf, esize, &ctx.leaf));
+      if (ctx.inner->offset() != 0) {
+        // Outer offsets index the UNSLICED child; a sliced inner list
+        // array would shift its offsets buffer under us.
+        return arrow::Status::Invalid(
+            "column ", cols_[c],
+            ": sliced nested child unsupported; read via Python path");
+      }
+    }
+    out->dtype = code;
+    out->ragged = 3;
+
+    std::vector<std::pair<int32_t, int64_t>> rows;
+    rows.reserve(n);
+    for (size_t s = 0; s < spans.size(); ++s) {
+      for (int64_t i = 0; i < spans[s].length; ++i) {
+        rows.emplace_back(static_cast<int32_t>(s), spans[s].start + i);
+      }
+    }
+    auto row_at = [&](int64_t r) -> const std::pair<int32_t, int64_t>& {
+      return rows[perm.empty() ? r : perm[r]];
+    };
+
+    // Pass 1: outer splits (inner-list count per row; null row -> 0).
+    ARROW_ASSIGN_OR_RAISE(auto obuf,
+                          arrow::AllocateBuffer((n + 1) * sizeof(int64_t)));
+    int64_t* osp = reinterpret_cast<int64_t*>(obuf->mutable_data());
+    osp[0] = 0;
+    for (int64_t r = 0; r < n; ++r) {
+      const auto& rr = row_at(r);
+      const SpanCtx& ctx = ctxs[rr.first];
+      bool valid = ctx.outer->null_count() == 0 ||
+                   ctx.outer->IsValid(rr.second);
+      int64_t len = valid ? ListOffset(*ctx.outer, rr.second + 1) -
+                                ListOffset(*ctx.outer, rr.second)
+                          : 0;
+      osp[r + 1] = osp[r] + len;
+    }
+    int64_t n_inner = osp[n];
+    out->num_inner = n_inner;
+
+    // Pass 2: inner splits (value count per inner list; null -> 0).
+    ARROW_ASSIGN_OR_RAISE(
+        auto ibuf, arrow::AllocateBuffer((n_inner + 1) * sizeof(int64_t)));
+    int64_t* isp = reinterpret_cast<int64_t*>(ibuf->mutable_data());
+    isp[0] = 0;
+    int64_t pos = 0;
+    for (int64_t r = 0; r < n; ++r) {
+      const auto& rr = row_at(r);
+      const SpanCtx& ctx = ctxs[rr.first];
+      bool valid = ctx.outer->null_count() == 0 ||
+                   ctx.outer->IsValid(rr.second);
+      if (!valid) continue;
+      int64_t b = ListOffset(*ctx.outer, rr.second);
+      int64_t e = ListOffset(*ctx.outer, rr.second + 1);
+      for (int64_t j = b; j < e; ++j) {
+        bool ivalid = ctx.inner->null_count() == 0 ||
+                      ctx.inner->IsValid(j);
+        int64_t ilen = ivalid ? ListOffset(*ctx.inner, j + 1) -
+                                    ListOffset(*ctx.inner, j)
+                              : 0;
+        isp[pos + 1] = isp[pos] + ilen;
+        ++pos;
+      }
+    }
+    int64_t total = isp[n_inner];
+    out->num_values = total;
+
+    // Values. Zero-copy: one span, no shuffle, nothing null anywhere —
+    // the span's whole value range is contiguous in the leaf buffer.
+    const SpanCtx& c0 = ctxs[0];
+    if (spans.size() == 1 && perm.empty() &&
+        c0.outer->null_count() == 0 && c0.inner->null_count() == 0 &&
+        c0.leaf.null_count == 0) {
+      int64_t first_inner = ListOffset(*c0.outer, spans[0].start);
+      int64_t first_val = ListOffset(*c0.inner, first_inner);
+      out->values = c0.leaf.data + first_val * esize;
+      out->splits = osp;
+      out->splits2 = isp;
+      token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(obuf)));
+      token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(ibuf)));
+      return arrow::Status::OK();
+    }
+    ARROW_ASSIGN_OR_RAISE(
+        auto vbuf, arrow::AllocateBuffer(std::max<int64_t>(total, 1) * esize));
+    uint8_t* dst = vbuf->mutable_data();
+    pos = 0;        // inner-list cursor (isp index)
+    for (int64_t r = 0; r < n; ++r) {
+      const auto& rr = row_at(r);
+      const SpanCtx& ctx = ctxs[rr.first];
+      bool valid = ctx.outer->null_count() == 0 ||
+                   ctx.outer->IsValid(rr.second);
+      if (!valid) continue;
+      int64_t b = ListOffset(*ctx.outer, rr.second);
+      int64_t e = ListOffset(*ctx.outer, rr.second + 1);
+      for (int64_t j = b; j < e; ++j, ++pos) {
+        bool ivalid = ctx.inner->null_count() == 0 ||
+                      ctx.inner->IsValid(j);
+        if (!ivalid) continue;
+        int64_t vb = ListOffset(*ctx.inner, j);
+        int64_t ve = ListOffset(*ctx.inner, j + 1);
+        std::memcpy(dst + isp[pos] * esize, ctx.leaf.data + vb * esize,
+                    static_cast<size_t>((ve - vb) * esize));
+        if (ctx.leaf.validity != nullptr) {
+          for (int64_t k = vb; k < ve; ++k) {
+            if (!BitIsSet(ctx.leaf.validity,
+                          ctx.leaf.validity_offset + k)) {
+              ARROW_RETURN_NOT_OK(FillDefault(
+                  dst, isp[pos] + (k - vb), code, defaults_[c]));
+            }
+          }
+        }
+      }
+    }
+    out->values = dst;
+    out->splits = osp;
+    out->splits2 = isp;
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(obuf)));
+    token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(ibuf)));
     token->owned.push_back(std::shared_ptr<arrow::Buffer>(std::move(vbuf)));
     return arrow::Status::OK();
   }

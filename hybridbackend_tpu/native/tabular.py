@@ -45,7 +45,9 @@ class _ColDesc(ctypes.Structure):
       ('num_values', ctypes.c_int64),
       ('splits', ctypes.c_void_p),
       ('dtype', ctypes.c_int32),
-      ('ragged', ctypes.c_int32),
+      ('ragged', ctypes.c_int32),      # 0 dense, 1 list, 2 str, 3 list<list>
+      ('splits2', ctypes.c_void_p),    # rank-2 inner splits
+      ('num_inner', ctypes.c_int64),   # rank-2 inner-list count
   ]
 
 
@@ -135,8 +137,8 @@ def supports(fields: Sequence[Field]) -> bool:
       if f.ragged_rank != 0:
         return False  # list<string> falls back
       continue  # flat string columns are native
-    if f.ragged_rank > 1:
-      return False
+    if f.ragged_rank > 2:
+      return False  # native plane decodes up to rank 2 (list<list<T>>)
     if np.dtype(f.dtype) not in _DTYPE_CODES:
       return False
   return True
@@ -243,7 +245,12 @@ class NativeTabularIterator:
         continue
       dtype = _CODE_DTYPES[c.dtype]
       values = _wrap(c.values, c.num_values, dtype, token)
-      if c.ragged:
+      if c.ragged == 3:   # list<list<T>>: two rebased split levels
+        outer = _wrap(c.splits, n + 1, np.dtype(np.int64), token)
+        inner = _wrap(c.splits2, c.num_inner + 1, np.dtype(np.int64),
+                      token)
+        out[f.name] = Value(values, [outer, inner])
+      elif c.ragged:
         splits = _wrap(c.splits, n + 1, np.dtype(np.int64), token)
         out[f.name] = Value(values, [splits])
       else:

@@ -190,3 +190,66 @@ class TestSessionDinConsumer:
     assert set(np.nonzero(gn)[0].tolist()) <= touched
     assert set(np.asarray(query_ids).tolist()) <= \
         set(np.nonzero(gn)[0].tolist())
+
+
+class TestNativeNestedDecode:
+  """The C++ plane decodes rank-2 list<list<T>> columns natively
+  (round-4: was a whole-pipeline Python fallback; the reference's C++
+  reader handles arbitrary nesting)."""
+
+  def _file(self, tmp_path, rows):
+    rng = np.random.RandomState(1)
+    tbl = pa.table({
+        'sess': pa.array(rows, type=pa.list_(pa.list_(pa.int64()))),
+        'flat': pa.array(rng.randint(0, 9, len(rows))),
+        'hist': pa.array([[float(v) for v in
+                           rng.rand(rng.randint(0, 3))]
+                          for _ in rows], type=pa.list_(pa.float32())),
+    })
+    path = str(tmp_path / 'nested_native.parquet')
+    pq.write_table(tbl, path, row_group_size=64)
+    return path
+
+  def test_native_routing_and_roundtrip(self, tmp_path):
+    from hybridbackend_tpu.native import tabular as nt
+    if not nt.available():
+      pytest.skip('native plane unavailable')
+    from hybridbackend_tpu.data import ParquetDataset
+    rows = _nested_rows(300, seed=7)
+    path = self._file(tmp_path, rows)
+    ds = ParquetDataset(path, batch_size=96)
+    assert ds._native_iter() is not None   # rank-2 stays native
+    got = []
+    for b in ParquetDataset(path, batch_size=96):
+      v = b['sess']
+      assert isinstance(v, Value) and v.ragged_rank == 2
+      got.extend(v.to_list())
+    norm = lambda lst: [[list(map(int, i)) for i in r] for r in lst]
+    assert norm(got) == rows
+
+  def test_native_shuffled_nested(self, tmp_path):
+    from hybridbackend_tpu.native import tabular as nt
+    if not nt.available():
+      pytest.skip('native plane unavailable')
+    from hybridbackend_tpu.data import ParquetDataset
+    rows = _nested_rows(300, seed=8)
+    path = self._file(tmp_path, rows)
+    got = []
+    for b in ParquetDataset(path, batch_size=100, shuffle=True, seed=2,
+                            shuffle_buffer=128):
+      got.extend(b['sess'].to_list())
+    key = lambda lst: sorted(
+        tuple(tuple(map(int, i)) for i in r) for r in lst)
+    assert key(got) == key(rows)
+
+  def test_rank3_stays_python(self, tmp_path):
+    from hybridbackend_tpu.data import ParquetDataset
+    rows = [[[[1, 2]], [[3]]], [[[4]]]]
+    t3 = pa.list_(pa.list_(pa.list_(pa.int64())))
+    path = str(tmp_path / 'rank3.parquet')
+    pq.write_table(pa.table({'x': pa.array(rows, type=t3)}), path)
+    ds = ParquetDataset(path, batch_size=2)
+    assert ds._native_iter() is None       # type gate: python path
+    (batch,) = list(ds)
+    assert batch['x'].ragged_rank == 3
+    assert batch['x'].to_list() == rows
