@@ -178,6 +178,42 @@ def main():
 
   cases['int8p2'] = int8p2_body
 
+  def int8p3_body(carry, _):
+    # bf16 select (EXACT: int8 values and 0/1 one-hots are
+    # bf16-representable, only one term per sum) + narrow f32 dequant.
+    s, i = carry
+    ids = shift(i)
+    prow = ids // P
+    lane = (ids % P).astype(jnp.int32)
+    qrows = jnp.take(q_packed, prow, axis=0)
+    q3 = qrows.reshape(args.n, P, args.dim).astype(jnp.bfloat16)
+    oh = (lane[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+          ).astype(jnp.bfloat16)
+    sel = (q3 * oh[..., None]).sum(-2)               # [n, d] bf16 exact
+    sc = jnp.take(qscale, ids, axis=0)
+    out = sel.astype(jnp.float32) * sc[:, None]
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8p3'] = int8p3_body
+
+  def int8p4_body(carry, _):
+    # All-int8 select (VPU integer ops, 27 MB of traffic), then the
+    # narrow cast+dequant.
+    s, i = carry
+    ids = shift(i)
+    prow = ids // P
+    lane = (ids % P).astype(jnp.int32)
+    qrows = jnp.take(q_packed, prow, axis=0)
+    q3 = qrows.reshape(args.n, P, args.dim)
+    oh = (lane[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+          ).astype(jnp.int8)
+    sel = (q3 * oh[..., None]).sum(-2, dtype=jnp.int32)   # [n, d]
+    sc = jnp.take(qscale, ids, axis=0)
+    out = sel.astype(jnp.float32) * sc[:, None]
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8p4'] = int8p4_body
+
   def dot_body(carry, _):
     # One-hot matmul gather, blocked: 128-id chunks against the table
     # restricted to each chunk's sorted id range (static 2048-row

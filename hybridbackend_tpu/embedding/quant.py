@@ -199,13 +199,18 @@ def lookup_quantized(qt: QuantizedTable, ids: jax.Array, config,
   lane = jnp.where(flat >= 0, (flat % p).astype(jnp.int32), 0)
   qrows = jnp.take(qt.q, prow, axis=0, mode='fill', fill_value=0)
   n = flat.shape[0]
-  q3 = qrows.reshape(n, p, d).astype(jnp.float32)      # wide cast
+  # Wide f32 cast on the 2-D [n, 128] form, then a broadcast-multiply-
+  # reduce select with the per-row scale folded into the lane one-hot.
+  # Measured fastest of four formulations on v5e at the flagship shape
+  # (5.80 ms vs 6.01 einsum / 6.25 bf16-select / 6.25 int8-select;
+  # f32 packed take 4.31 — the residual is the widening pass):
+  # gather_probe --cases take int8 int8p int8p2 int8p3 int8p4.
+  wide = qrows.astype(jnp.float32)
   sc = jnp.take(qt.scale, jnp.clip(flat, 0, v - 1), axis=0)
   sc = jnp.where(fvalid, sc, 0.0)
-  # Scale rides the one-hot: select + dequant in one contraction.
   ohs = (lane[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :]
          ).astype(jnp.float32) * sc[:, None]           # [n, p]
-  out = jnp.einsum('np,npd->nd', ohs, q3)
+  out = (wide.reshape(n, p, d) * ohs[..., None]).sum(-2)
   return out.reshape(*shape, d)
 
 

@@ -55,6 +55,11 @@ OPTIONS.register(
         '133k updates on v5e; per-row gradient totals rounded to '
         'bf16 precision).')
 OPTIONS.register(
+    'emb_update_chunk', 0, env='HB_EMB_UPDATE_CHUNK',
+    doc='Update rows per inner one-hot matmul iteration of the stream '
+        'kernel (DMA granule when emb_update_dma_chunk is 0). 0 = '
+        'kernel default (128).')
+OPTIONS.register(
     'emb_update_window_rows', -1, env='HB_EMB_UPDATE_WINDOW_ROWS',
     doc='One-hot window of the stream update kernel (rows): sorted '
         'chunks span narrow row ranges, so the one-hot matmul runs '
@@ -179,6 +184,8 @@ def _stream_kwargs(table, rows, packs: bool = True):
     kwargs['precision'] = OPTIONS['emb_update_matmul_precision']
   if OPTIONS['emb_update_dma_chunk']:
     kwargs['dma_chunk'] = int(OPTIONS['emb_update_dma_chunk'])
+  if OPTIONS['emb_update_chunk']:
+    kwargs['chunk'] = int(OPTIONS['emb_update_chunk'])
   if int(OPTIONS['emb_update_window_rows']) >= 0:
     kwargs['window_rows'] = int(OPTIONS['emb_update_window_rows'])
   v, d = table.shape
