@@ -214,6 +214,70 @@ def main():
 
   cases['int8p4'] = int8p4_body
 
+  def int8p5_body(carry, _):
+    # Unrolled static-slice masked sum — no reshape, no reduction axis
+    # (probes whether XLA loop-fuses the select when nothing forces a
+    # materialized wide intermediate; measured: it does NOT — the wide
+    # int8→f32 cast still splits the fusion).
+    s, i = carry
+    ids = shift(i)
+    prow = ids // P
+    lane = (ids % P).astype(jnp.int32)
+    qrows = jnp.take(q_packed, prow, axis=0)
+    sc = jnp.take(qscale, ids, axis=0)
+    out = None
+    for p in range(P):
+      selp = jnp.where(lane == p, sc, 0.0)[:, None]
+      term = qrows[:, p*args.dim:(p+1)*args.dim].astype(jnp.float32) * selp
+      out = term if out is None else out + term
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8p5'] = int8p5_body
+
+  def int8p6_body(carry, _):
+    # NARROW-DOMAIN select: where-chain over int8 slices — nothing wide
+    # is ever cast; the only f32 arrays are [n, d]. The round-4 winner
+    # (see docs/benchmarks.md): the wide cast was the fusion breaker,
+    # not the select shape.
+    s, i = carry
+    ids = shift(i)
+    prow = ids // P
+    lane = (ids % P).astype(jnp.int32)
+    qrows = jnp.take(q_packed, prow, axis=0)
+    sc = jnp.take(qscale, ids, axis=0)
+    out8 = qrows[:, :args.dim]
+    for p in range(1, P):
+      out8 = jnp.where((lane == p)[:, None],
+                       qrows[:, p*args.dim:(p+1)*args.dim], out8)
+    out = out8.astype(jnp.float32) * sc[:, None]
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8p6'] = int8p6_body
+
+  q32_packed = jax.lax.bitcast_convert_type(
+      np.asarray(q_packed).reshape(KV, 32, 4), jnp.int32)
+
+  def int8p7_body(carry, _):
+    # int32-word select: bitcast the packed row to 32 int32 words,
+    # masked-sum the logical row's 4 words (narrow [n, 4]), shift-unpack
+    # the 16 bytes, then the narrow cast+dequant.
+    s, i = carry
+    ids = shift(i)
+    prow = ids // P
+    lane = (ids % P).astype(jnp.int32)
+    rows32 = jnp.take(q32_packed, prow, axis=0)
+    sc = jnp.take(qscale, ids, axis=0)
+    w = None
+    for p in range(P):
+      term = jnp.where((lane == p)[:, None], rows32[:, p*4:(p+1)*4], 0)
+      w = term if w is None else w + term
+    cols = [(w << (24 - 8*b)) >> 24 for b in range(4)]
+    b8 = jnp.stack(cols, axis=-1).reshape(w.shape[0], 16)
+    out = b8.astype(jnp.float32) * sc[:, None]
+    return (s + out[0, 0], i + 1), ()
+
+  cases['int8p7'] = int8p7_body
+
   def dot_body(carry, _):
     # One-hot matmul gather, blocked: 128-id chunks against the table
     # restricted to each chunk's sorted id range (static 2048-row
