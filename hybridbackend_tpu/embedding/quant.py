@@ -201,10 +201,17 @@ def lookup_quantized(qt: QuantizedTable, ids: jax.Array, config,
   n = flat.shape[0]
   # Wide f32 cast on the 2-D [n, 128] form, then a broadcast-multiply-
   # reduce select with the per-row scale folded into the lane one-hot.
-  # Measured fastest of four formulations on v5e at the flagship shape
-  # (5.80 ms vs 6.01 einsum / 6.25 bf16-select / 6.25 int8-select;
-  # f32 packed take 4.31 — the residual is the widening pass):
-  # gather_probe --cases take int8 int8p int8p2 int8p3 int8p4.
+  # Measured fastest of TWELVE formulations on v5e at the flagship
+  # shape (5.80 ms; the losers span 5.91–382 ms across XLA
+  # narrow-domain selects, unrolled-slice folds, int32 word selects,
+  # (1,16)-slice gathers, and five Pallas per-row-operand encodings —
+  # full table in docs/benchmarks.md). The raw packed take is
+  # dtype-independent at ~4.35 ms (row-rate-bound: int8 = bf16 = f32),
+  # so the residual over the floor is the widening pass, and TPU layout
+  # constraints on per-row lane/scale operands put a ≥1.3 ms tax on
+  # every fused-kernel alternative (Pallas structural floor with a
+  # CONSTANT lane: 4.94 ms). gather_probe --cases take int8 int8p
+  # int8p2 int8p3 int8p4 int8p5 int8p6 int8p7 reproduces the XLA rows.
   wide = qrows.astype(jnp.float32)
   sc = jnp.take(qt.scale, jnp.clip(flat, 0, v - 1), axis=0)
   sc = jnp.where(fvalid, sc, 0.0)
