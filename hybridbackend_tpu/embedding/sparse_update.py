@@ -109,6 +109,27 @@ OPTIONS.register(
         'kept as an option for shapes/backends where K·B is too large '
         'to sort flat.')
 OPTIONS.register(
+    'emb_update_split_dense', 'off', env='HB_EMB_UPDATE_SPLIT_DENSE',
+    doc="Dense-split form of the stream update: a Pallas kernel writes "
+        'only the dense per-row gradient totals (one streamed operand), '
+        'and the optimizer apply runs as a fused XLA elementwise pass '
+        'over (table, slots, gsum). Bit-identical to the fused kernel. '
+        "Measured SLOWER on one v5e chip at the flagship packed shape "
+        '(stream_bw_probe: gsum kernel 3.4 ms + 5-transfer XLA apply '
+        '2.6 ms ≈ 6.0 ms vs ~4.1 ms fused in-step): the fused kernel '
+        'overlaps the one-hot scatter MXU work with the table stream, '
+        "and XLA's elementwise rate (331 GB/s) is only ~1.15x the "
+        "kernel's pass-through (287 GB/s) — not enough to buy back the "
+        "extra dense gsum pass. Default 'off'; 'auto' enables it in "
+        'the dense-touch regime (touched-blocks grid inactive, 128-lane '
+        "physical rows) for future chips / A-B probes; 'on' forces.")
+OPTIONS.register(
+    'emb_update_gsum_block_rows', 0, env='HB_EMB_UPDATE_GSUM_BLOCK_ROWS',
+    doc='Output-block rows per grid step of the dense-split gsum '
+        'kernel; 0 = kernel default (8192 — one streamed operand '
+        'leaves VMEM room for much larger blocks than the fused '
+        "kernel's 2048).")
+OPTIONS.register(
     'emb_update_overflow_fallback', True,
     env='HB_EMB_UPDATE_OVERFLOW_FALLBACK',
     doc='When an alltoall update bucket overflows, re-route that step '
@@ -197,6 +218,34 @@ def _stream_kwargs(table, rows, packs: bool = True):
   return kwargs
 
 
+def _split_dense(table, kwargs) -> bool:
+  """Dense-split decision (option ``emb_update_split_dense``): route
+  the bulk table/slot bytes through a fused XLA elementwise apply and
+  keep only the irregular scatter (dense gsum) in Pallas. Measured
+  SLOWER than the fused kernel on v5e (see the option doc /
+  stream_bw_probe) — default off; ``'auto'`` opts in for the
+  dense-touch regime (touched-blocks grid inactive). Requires 128-lane
+  physical rows (lane-packed or naturally wide)."""
+  mode = str(OPTIONS['emb_update_split_dense'])
+  if mode == 'off' or table.shape[1] % 128:
+    return False
+  if mode == 'on':
+    return True
+  return 'touched_blocks' not in kwargs
+
+
+def _gsum_kwargs(kwargs):
+  """Kernel kwargs for the dense-split gsum kernel: the touched grid
+  never applies (the output must be fully written) and the block size
+  has its own default/option (one streamed operand fits much larger
+  blocks)."""
+  gkw = {k: v for k, v in kwargs.items()
+         if k not in ('touched_blocks', 'block_rows')}
+  if OPTIONS['emb_update_gsum_block_rows']:
+    gkw['block_rows'] = int(OPTIONS['emb_update_gsum_block_rows'])
+  return gkw
+
+
 def _stream_adagrad(table, acc, rows, g, lr, eps, pack_p: int = 1):
   """Sort + fused Pallas Adagrad (exact row-total semantics). ``lr``
   may be a traced scalar (e.g. a schedule value).
@@ -217,6 +266,18 @@ def _stream_adagrad(table, acc, rows, g, lr, eps, pack_p: int = 1):
   g = g[order]
   interpret = jax.default_backend() != 'tpu'
   kwargs = _stream_kwargs(table, rows)
+  if _split_dense(table, kwargs):
+    from hybridbackend_tpu.ops.pallas.scatter import gsum_dense_sorted
+    gsum = gsum_dense_sorted(rows, g.astype(table.dtype),
+                             table.shape[0], interpret=interpret,
+                             **_gsum_kwargs(kwargs))
+    gsum = gsum[:, :table.shape[1]]
+    # Identical math to the fused kernel's adagrad tail — gsum is the
+    # same _split_dots row totals, so the paths are bit-identical.
+    a = acc.astype(jnp.float32) + gsum * gsum
+    new_table = (table - lr * gsum / (jnp.sqrt(a) + eps)
+                 ).astype(table.dtype)
+    return new_table, a.astype(acc.dtype)
   return adagrad_update_sorted(table, acc, rows, g,
                                lr=lr, eps=float(eps),
                                interpret=interpret, **kwargs)

@@ -88,6 +88,112 @@ def _split_dots(onehot_bf16, upd, precision):
   return dot(hi) + dot(mid) + dot(lo)
 
 
+def _accumulate_updates(rows_ref, upd_hbm, gsum_ref, upd_s, sems, b,
+                        start, end, *, block_rows, chunk, precision,
+                        window_rows, dma_chunk):
+  """Walk one block's slice ``[start, end)`` of the row-sorted update
+  list and accumulate one-hot-matmul per-row TOTALS into ``gsum_ref``
+  (VMEM ``[block_rows, lanes]``, pre-zeroed by the caller). Shared by
+  the fused update kernels (:func:`_scatter_kernel`) and the
+  dense-split gsum kernel (:func:`_gsum_kernel`)."""
+  win = window_rows if 0 < window_rows < block_rows else 0
+
+  def accumulate(upd_view, c0):
+    """One-hot matmul of chunk ``c0`` (update rows staged in
+    ``upd_view`` [chunk, lanes]).
+
+    With ``win`` set, the one-hot is computed against a ``win``-row
+    WINDOW at a dynamic (8-aligned) offset instead of the whole
+    block: the update list is row-sorted, so a chunk's valid rows
+    span a narrow range, and the MXU work drops from
+    ``block_rows × chunk`` to ``win × chunk`` per chunk. Chunks that
+    span wider than the window (sparse regions, segment gaps) take
+    the full-block path — exact either way.
+    """
+    ci = c0 // chunk
+    # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
+    raw = rows_ref[pl.ds(ci, 1), :]                     # [1, chunk]
+    local = raw - b * block_rows
+
+    def full_block():
+      onehot_t = (jax.lax.broadcasted_iota(
+          jnp.int32, (block_rows, chunk), 0) == local).astype(
+              jnp.bfloat16)
+      gsum_ref[...] += _split_dots(onehot_t, upd_view, precision
+                                   ).astype(gsum_ref.dtype)
+
+    if not win:
+      full_block()
+      return
+
+    valid = (local >= 0) & (local < block_rows)
+    vlo = jnp.min(jnp.where(valid, local, block_rows))
+    vhi = jnp.max(jnp.where(valid, local, -1))
+    w0 = jnp.minimum((vlo // 8) * 8, block_rows - win)
+    w0 = pl.multiple_of(jnp.maximum(w0, 0), 8)
+
+    @pl.when(vhi - w0 < win)
+    def _():
+      onehot_t = (jax.lax.broadcasted_iota(
+          jnp.int32, (win, chunk), 0) + w0 == local).astype(
+              jnp.bfloat16)
+      gsum_ref[pl.ds(w0, win), :] += _split_dots(
+          onehot_t, upd_view, precision).astype(gsum_ref.dtype)
+
+    @pl.when(vhi - w0 >= win)
+    def _():
+      full_block()
+
+  if not dma_chunk:
+    def process_chunk(c0):
+      c0 = pl.multiple_of(c0, chunk)
+      upd_cp = pltpu.make_async_copy(
+          upd_hbm.at[pl.ds(c0, chunk), :], upd_s,
+          sems.at[0])
+      upd_cp.start()
+      upd_cp.wait()
+      accumulate(upd_s[...], c0)
+      return c0 + chunk
+
+    # Walk this block's update range in CHUNK-ALIGNED pieces (DMA
+    # starts must be tile-aligned; out-of-range rows a rounded-down
+    # chunk drags in vanish in the one-hot).
+    jax.lax.while_loop(lambda c: c < end, process_chunk,
+                       (start // chunk) * chunk)
+  else:
+    # Decoupled transfer/compute granules: double-buffered
+    # ``dma_chunk``-row super-chunk DMAs (amortizes per-transfer
+    # fixed costs) with a STATIC inner loop of ``chunk``-row one-hot
+    # matmuls from VMEM. upd_s is [2, dma_chunk, lanes].
+    dmac = dma_chunk
+    start_al = (start // dmac) * dmac
+    nsup = (end - start_al + dmac - 1) // dmac
+
+    def get_copy(slot, s0):
+      return pltpu.make_async_copy(
+          upd_hbm.at[pl.ds(s0, dmac), :], upd_s.at[slot],
+          sems.at[slot])
+
+    get_copy(0, pl.multiple_of(start_al, dmac)).start()
+
+    def sup_body(i, _):
+      s0 = pl.multiple_of(start_al + i * dmac, dmac)
+      slot = jax.lax.rem(i, 2)
+
+      @pl.when(i + 1 < nsup)
+      def _():
+        get_copy(jax.lax.rem(i + 1, 2),
+                 pl.multiple_of(s0 + dmac, dmac)).start()
+
+      get_copy(slot, s0).wait()
+      for k in range(dmac // chunk):
+        accumulate(upd_s[slot, pl.ds(k * chunk, chunk), :],
+                   s0 + k * chunk)
+      return 0
+
+    jax.lax.fori_loop(0, nsup, sup_body, 0)
+
+
 def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
                     upd_s, gsum_s, sems, *, block_rows, chunk,
                     mode, eps, precision, window_rows=0,
@@ -150,103 +256,10 @@ def _scatter_kernel(starts_ref, rows_ref, upd_hbm, tbl_ref, out_ref,
   @pl.when(end > start)
   def _():
     gsum_s[...] = jnp.zeros_like(gsum_s)
-
-    win = window_rows if 0 < window_rows < block_rows else 0
-
-    def accumulate(upd_view, c0):
-      """One-hot matmul of chunk ``c0`` (update rows staged in
-      ``upd_view`` [chunk, lanes]).
-
-      With ``win`` set, the one-hot is computed against a ``win``-row
-      WINDOW at a dynamic (8-aligned) offset instead of the whole
-      block: the update list is row-sorted, so a chunk's valid rows
-      span a narrow range, and the MXU work drops from
-      ``block_rows × chunk`` to ``win × chunk`` per chunk. Chunks that
-      span wider than the window (sparse regions, segment gaps) take
-      the full-block path — exact either way.
-      """
-      ci = c0 // chunk
-      # rows live in VMEM as [nchunks, chunk]; grab this chunk's row.
-      raw = rows_ref[pl.ds(ci, 1), :]                     # [1, chunk]
-      local = raw - b * block_rows
-
-      def full_block():
-        onehot_t = (jax.lax.broadcasted_iota(
-            jnp.int32, (block_rows, chunk), 0) == local).astype(
-                jnp.bfloat16)
-        gsum_s[...] += _split_dots(onehot_t, upd_view, precision
-                                   ).astype(gsum_s.dtype)
-
-      if not win:
-        full_block()
-        return
-
-      valid = (local >= 0) & (local < block_rows)
-      vlo = jnp.min(jnp.where(valid, local, block_rows))
-      vhi = jnp.max(jnp.where(valid, local, -1))
-      w0 = jnp.minimum((vlo // 8) * 8, block_rows - win)
-      w0 = pl.multiple_of(jnp.maximum(w0, 0), 8)
-
-      @pl.when(vhi - w0 < win)
-      def _():
-        onehot_t = (jax.lax.broadcasted_iota(
-            jnp.int32, (win, chunk), 0) + w0 == local).astype(
-                jnp.bfloat16)
-        gsum_s[pl.ds(w0, win), :] += _split_dots(
-            onehot_t, upd_view, precision).astype(gsum_s.dtype)
-
-      @pl.when(vhi - w0 >= win)
-      def _():
-        full_block()
-
-    if not dma_chunk:
-      def process_chunk(c0):
-        c0 = pl.multiple_of(c0, chunk)
-        upd_cp = pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(c0, chunk), :], upd_s,
-            sems.at[0])
-        upd_cp.start()
-        upd_cp.wait()
-        accumulate(upd_s[...], c0)
-        return c0 + chunk
-
-      # Walk this block's update range in CHUNK-ALIGNED pieces (DMA
-      # starts must be tile-aligned; out-of-range rows a rounded-down
-      # chunk drags in vanish in the one-hot).
-      jax.lax.while_loop(lambda c: c < end, process_chunk,
-                         (start // chunk) * chunk)
-    else:
-      # Decoupled transfer/compute granules: double-buffered
-      # ``dma_chunk``-row super-chunk DMAs (amortizes per-transfer
-      # fixed costs) with a STATIC inner loop of ``chunk``-row one-hot
-      # matmuls from VMEM. upd_s is [2, dma_chunk, lanes].
-      dmac = dma_chunk
-      start_al = (start // dmac) * dmac
-      nsup = (end - start_al + dmac - 1) // dmac
-
-      def get_copy(slot, s0):
-        return pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(s0, dmac), :], upd_s.at[slot],
-            sems.at[slot])
-
-      get_copy(0, pl.multiple_of(start_al, dmac)).start()
-
-      def sup_body(i, _):
-        s0 = pl.multiple_of(start_al + i * dmac, dmac)
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < nsup)
-        def _():
-          get_copy(jax.lax.rem(i + 1, 2),
-                   pl.multiple_of(s0 + dmac, dmac)).start()
-
-        get_copy(slot, s0).wait()
-        for k in range(dmac // chunk):
-          accumulate(upd_s[slot, pl.ds(k * chunk, chunk), :],
-                     s0 + k * chunk)
-        return 0
-
-      jax.lax.fori_loop(0, nsup, sup_body, 0)
+    _accumulate_updates(rows_ref, upd_hbm, gsum_s, upd_s, sems, b,
+                        start, end, block_rows=block_rows, chunk=chunk,
+                        precision=precision, window_rows=window_rows,
+                        dma_chunk=dma_chunk)
 
     d = out_ref.shape[1]
     gsum = gsum_s[...][:, :d]
@@ -480,7 +493,7 @@ def scatter_add_sorted(table: jax.Array, rows: jax.Array,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
-                pl.BlockSpec(memory_space=pltpu.ANY),   # updates (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # updates (HBM)
                 pl.BlockSpec((block_rows, kd), imap,
                              memory_space=pltpu.VMEM),  # table block in
             ],
@@ -592,7 +605,7 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
-                pl.BlockSpec(memory_space=pltpu.ANY),   # updates (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # updates (HBM)
                 bspec, bspec,
             ],
             out_specs=(bspec, bspec),
@@ -625,8 +638,101 @@ def adagrad_update_sorted(table: jax.Array, acc: jax.Array,
   return t2.reshape(v, d), a2.reshape(v, d)
 
 
+def _gsum_kernel(starts_ref, rows_ref, upd_hbm, out_ref, upd_s, sems, *,
+                 block_rows, chunk, precision, window_rows, dma_chunk):
+  """Dense per-row gradient totals: the grid walks OUTPUT blocks only —
+  no table/acc operands stream through VMEM. Untouched blocks write
+  zeros; touched blocks accumulate their one-hot-matmul row totals
+  directly into the output block. The optimizer apply then runs as a
+  fused XLA elementwise pass over (table, acc, gsum) — the
+  'dense-split' update (see ``sparse_update._stream_adagrad``).
+  Measured SLOWER than the fused full-stream kernels on v5e at the
+  flagship shape (stream_bw_probe: this kernel alone costs ~3.4 ms
+  because the one-hot scatter MXU work no longer overlaps the table
+  stream, and the XLA apply adds a 5-transfer pass) — kept as an
+  opt-in for future chips and wide-slot-state regimes."""
+  b = pl.program_id(0)
+  start = starts_ref[b]
+  end = starts_ref[b + 1]
+  out_ref[...] = jnp.zeros_like(out_ref)
+
+  @pl.when(end > start)
+  def _():
+    _accumulate_updates(rows_ref, upd_hbm, out_ref, upd_s, sems, b,
+                        start, end, block_rows=block_rows, chunk=chunk,
+                        precision=precision, window_rows=window_rows,
+                        dma_chunk=dma_chunk)
+
+
+_BLOCK_ROWS_GSUM = 8192  # gsum streams ONE output operand — 2 double-
+                         # buffered 4 MB blocks fit VMEM easily and the
+                         # per-grid-iteration fixed cost (~3.4 us)
+                         # amortizes 4x vs the fused kernel's 2048.
+
+
+@functools.partial(jax.jit, static_argnames=('vocab', 'block_rows',
+                                             'chunk', 'precision',
+                                             'interpret', 'dma_chunk',
+                                             'window_rows'))
+def gsum_dense_sorted(rows: jax.Array, updates: jax.Array, vocab: int,
+                      block_rows: int = _BLOCK_ROWS_GSUM,
+                      chunk: int = _CHUNK,
+                      precision: str = 'highest',
+                      interpret: bool = False,
+                      dma_chunk: int = 0,
+                      window_rows: int = _WINDOW_ROWS) -> jax.Array:
+  """Dense ``[vocab, D]`` per-row TOTALS of a row-sorted update list.
+
+  ``rows``: int32 ``[N]`` ascending in the PHYSICAL row space (-1 and
+  ``>= vocab`` entries ignored); ``updates``: ``[N, D]`` with
+  ``D % 128 == 0`` (lane-packed / wide rows — the caller expands narrow
+  tables first). Duplicate rows sum exactly via the same
+  :func:`_split_dots` contract as the fused kernels, so
+  ``gsum = gsum_dense_sorted(...)`` followed by an XLA elementwise
+  optimizer apply is bit-identical to the fused full-stream kernels.
+  """
+  if updates.shape[1] % 128:
+    raise ValueError('gsum_dense_sorted needs 128-lane update rows; '
+                     f'got D={updates.shape[1]}')
+  if dma_chunk and dma_chunk % chunk:
+    raise ValueError('dma_chunk must be a multiple of chunk')
+  pad_unit = max(chunk, dma_chunk)
+  rows, updates = pad_updates(rows.astype(jnp.int32), updates, pad_unit)
+  starts = _block_starts(rows, vocab, block_rows)
+  rows2 = rows.reshape(-1, chunk)
+  nblocks = pl.cdiv(vocab, block_rows)
+  kd = updates.shape[1]
+
+  kernel = functools.partial(
+      _gsum_kernel, block_rows=block_rows, chunk=chunk,
+      precision=jax.lax.Precision(precision.lower()),
+      window_rows=window_rows, dma_chunk=dma_chunk)
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=1,
+          grid=(nblocks,),
+          in_specs=[
+              pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
+              pl.BlockSpec(memory_space=pl.ANY),   # updates (HBM)
+          ],
+          out_specs=pl.BlockSpec((block_rows, kd), lambda b, s: (b, 0),
+                                 memory_space=pltpu.VMEM),
+          scratch_shapes=[
+              pltpu.VMEM((2, dma_chunk, kd), updates.dtype)
+              if dma_chunk else
+              pltpu.VMEM((chunk, kd), updates.dtype),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=jax.ShapeDtypeStruct((vocab, kd), jnp.float32),
+      interpret=interpret,
+  )(starts, rows2, updates)
+
+
 __all__ = ['scatter_add_sorted', 'adagrad_update_sorted',
-           'adam_update_sorted', 'sorted_segment_totals', 'pad_updates']
+           'adam_update_sorted', 'gsum_dense_sorted',
+           'sorted_segment_totals', 'pad_updates']
 
 
 @functools.partial(jax.jit, static_argnames=('b1', 'b2', 'eps',
@@ -698,7 +804,7 @@ def adam_update_sorted(table: jax.Array, m: jax.Array, v: jax.Array,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (resident)
-                pl.BlockSpec(memory_space=pltpu.ANY),   # updates (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # updates (HBM)
                 bspec, bspec, bspec,                    # table, m, v
             ],
             out_specs=(bspec, bspec, bspec),

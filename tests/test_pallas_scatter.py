@@ -175,3 +175,47 @@ class TestTouchedBlocks:
         t2, _ = sparse_adagrad_apply(table, state, ids, demb, cfg, 0.1)
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
                                rtol=1e-5)
+
+class TestGsumDense:
+  """Dense per-row totals kernel (`gsum_dense_sorted`) — the
+  dense-split update's scatter half. Measured slower than the fused
+  kernels on v5e (stream_bw_probe; option defaults off) but must stay
+  bit-correct for the opt-in path."""
+
+  def _want(self, V, ids, g):
+    want = np.zeros((V, 128), np.float32)
+    ok = (ids >= 0) & (ids < V)
+    np.add.at(want, ids[ok], g[ok])
+    return want
+
+  def test_totals_with_duplicates_and_invalids(self):
+    from hybridbackend_tpu.ops.pallas.scatter import gsum_dense_sorted
+    rng = np.random.RandomState(11)
+    V = 4096
+    ids = np.sort(rng.randint(0, 300, 900)).astype(np.int32)
+    ids[:13] = -1
+    g = rng.randn(900, 128).astype(np.float32)
+    got = gsum_dense_sorted(jnp.asarray(ids), jnp.asarray(g), V,
+                            block_rows=1024, chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), self._want(V, ids, g),
+                               rtol=1e-5, atol=2e-4)
+
+  def test_untouched_rows_exact_zero_and_dma_chunk(self):
+    from hybridbackend_tpu.ops.pallas.scatter import gsum_dense_sorted
+    rng = np.random.RandomState(12)
+    V = 4096
+    ids = np.sort(rng.randint(1024, 2048, 700)).astype(np.int32)
+    g = rng.randn(700, 128).astype(np.float32)
+    got = np.asarray(gsum_dense_sorted(
+        jnp.asarray(ids), jnp.asarray(g), V, block_rows=1024,
+        chunk=128, dma_chunk=256, interpret=True))
+    np.testing.assert_allclose(got, self._want(V, ids, g),
+                               rtol=1e-5, atol=2e-4)
+    assert (got[:1024] == 0).all() and (got[2048:] == 0).all()
+
+  def test_narrow_rows_rejected(self):
+    from hybridbackend_tpu.ops.pallas.scatter import gsum_dense_sorted
+    with pytest.raises(ValueError, match='128-lane'):
+      gsum_dense_sorted(jnp.zeros((8,), jnp.int32),
+                        jnp.zeros((8, 16), jnp.float32), 64,
+                        interpret=True)

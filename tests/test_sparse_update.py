@@ -881,3 +881,43 @@ def test_adam_out_of_vocab_ids_do_not_decay_rows():
                              0.1, step=1)
   np.testing.assert_array_equal(np.asarray(t2), np.asarray(tbl))
   np.testing.assert_array_equal(np.asarray(s2.acc[0]), m0)
+
+def test_split_dense_update_bit_identical():
+  """The opt-in dense-split update (gsum kernel + XLA elementwise
+  apply) must match the fused stream kernel — same `_split_dots` row
+  totals, same f32 apply math. Bit-identical on a real TPU (verified
+  on one v5e chip); CPU interpret mode differs in the last ulp (host
+  FMA contraction of the sqrt/div chain), hence the 1e-7 tolerance
+  here. (Defaults off: measured slower on v5e, see stream_bw_probe /
+  docs/benchmarks.md.)"""
+  import hybridbackend_tpu as hb
+  cfg = TableConfig('wide', 2048, 128, sharded=False)
+  table = create_table(cfg, jax.random.PRNGKey(3))
+  state = init_adagrad_state(table, 0.1)
+  rng = np.random.RandomState(4)
+  ids = jnp.asarray(rng.randint(0, 2048, 512), jnp.int32)
+  demb = jnp.asarray(rng.randn(512, 128).astype(np.float32))
+  with hb.scope(emb_update_impl='stream', emb_update_touched_blocks=-1):
+    t_fused, s_fused = sparse_adagrad_apply(table, state, ids, demb,
+                                            cfg, 0.1)
+    with hb.scope(emb_update_split_dense='on'):
+      t_split, s_split = sparse_adagrad_apply(table, state, ids, demb,
+                                              cfg, 0.1)
+  np.testing.assert_allclose(np.asarray(t_split), np.asarray(t_fused),
+                             rtol=1e-6, atol=1e-7)
+  np.testing.assert_allclose(np.asarray(s_split.acc[0]),
+                             np.asarray(s_fused.acc[0]),
+                             rtol=1e-6, atol=1e-7)
+
+
+def test_split_dense_auto_requires_lane_width():
+  """'auto' must never engage for narrow physical rows or when the
+  touched-blocks sparse grid is active."""
+  from hybridbackend_tpu.embedding.sparse_update import _split_dense
+  import hybridbackend_tpu as hb
+  wide = jnp.zeros((64, 128))
+  with hb.scope(emb_update_split_dense='auto'):
+    assert _split_dense(wide, {})
+    assert not _split_dense(wide, {'touched_blocks': 8})
+    assert not _split_dense(jnp.zeros((64, 16)), {})
+  assert not _split_dense(wide, {})  # default off
