@@ -64,14 +64,17 @@ def main():
   results = []
 
   def timed(name, run_fn, carry0, nbytes):
+    # float(...) forces a synchronous scalar readback — on the axon
+    # backend block_until_ready is a NO-OP and an un-read dispatch
+    # measures enqueue time only (xla2 "measured" 0.001 ms that way).
     try:
       t0 = time.time()
-      jax.block_until_ready(run_fn(*carry0))
+      float(run_fn(*carry0))
       compile_s = time.time() - t0
       times = []
       for _ in range(args.repeats):
         t0 = time.time()
-        jax.block_until_ready(run_fn(*carry0))
+        float(run_fn(*carry0))
         times.append((time.time() - t0) / args.inner)
       ms = 1000.0 * min(times)
       r = {'case': name, 'ms': round(ms, 3),
