@@ -161,7 +161,13 @@ def main():
 
       def oneg(carry, _, br=br):
         s, sh = carry
-        g = gsum_dense_sorted(rows, upd * (1.0 + 1e-7 * sh), KV,
+        # Carry dependence rides the CHEAP rows array ([N] int32,
+        # ~0.9 MB), not a materialized pass over the 109 MB update
+        # list: min(int(sh), 0) is 0 at runtime (sh >= 0) but not
+        # foldable, so each iteration's kernel depends on the carry
+        # without adding uncounted HBM traffic.
+        rows_i = rows + jnp.minimum(sh.astype(jnp.int32), 0)
+        g = gsum_dense_sorted(rows_i, upd, KV,
                               block_rows=br, chunk=128,
                               precision='default', interpret=interpret)
         return (s + g[0, 0], sh + 1.0), ()

@@ -209,9 +209,7 @@ class Value:
     """Merge the two innermost ragged levels."""
     if self.ragged_rank < 2:
       return self
-    *outer, second, _inner = self.row_splits
-    # new outer-most splits index into the merged level
-    merged_outer = tuple(outer) + (self.row_splits[-2],)
+    outer = self.row_splits[:-2]
     # compose: outer splits now index flat values via inner splits
     composed = self.row_splits[-1][self.row_splits[-2]]
     return Value(self.values, tuple(outer) + (composed,))

@@ -122,7 +122,10 @@ OPTIONS.register(
         "kernel's pass-through (287 GB/s) — not enough to buy back the "
         "extra dense gsum pass. Default 'off'; 'auto' enables it in "
         'the dense-touch regime (touched-blocks grid inactive, 128-lane '
-        "physical rows) for future chips / A-B probes; 'on' forces.")
+        "physical rows) for future chips / A-B probes; 'on' forces. "
+        'Applies ONLY to the unstacked Adagrad stream path '
+        '(_stream_adagrad); the stacked presorted path and the SGD/Adam '
+        'streams always use the fused kernels.')
 OPTIONS.register(
     'emb_update_gsum_block_rows', 0, env='HB_EMB_UPDATE_GSUM_BLOCK_ROWS',
     doc='Output-block rows per grid step of the dense-split gsum '

@@ -231,14 +231,19 @@ class _FirstCallTemplatedStep:
   def __init__(self, build):
     self._build = build
     self._compiled = None
+    self._fallback = False  # True while _compiled came from a tracer call
 
   def _ensure(self, state):
-    if self._compiled is None:
-      params = state.params
-      if any(isinstance(l, jax.core.Tracer)
-             for l in jax.tree_util.tree_leaves(params)):
-        params = None   # can't read shardings off tracers
-      self._compiled = self._build(params)
+    params = state.params
+    traced = any(isinstance(l, jax.core.Tracer)
+                 for l in jax.tree_util.tree_leaves(params))
+    if self._compiled is None or (self._fallback and not traced):
+      # A first call under a trace can't read shardings, so it builds
+      # the GSPMD-only fallback — but only provisionally: the first
+      # NON-tracer call rebuilds with the real template so wire
+      # compression engages instead of latching off forever.
+      self._compiled = self._build(None if traced else params)
+      self._fallback = traced
     return self._compiled
 
   def __call__(self, state, batch):

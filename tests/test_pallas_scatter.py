@@ -86,6 +86,45 @@ def test_untouched_rows_bitwise_unchanged():
   np.testing.assert_array_equal(np.asarray(ga)[un], np.float32(0.1))
 
 
+def test_window_fallback_wide_span_chunk():
+  """A chunk whose valid rows PROVABLY span wider than the one-hot
+  window must take the exact full-block fallback (scatter.py
+  _accumulate_updates: the ``vhi - w0 >= win`` branch). One 256-row
+  chunk hits rows 0..1500 of a 2048-row block with window 64 — no
+  64-row window can cover the span, so only the fallback path can
+  produce the exact result."""
+  table, _, g = _mk(n=256)
+  span = np.linspace(0, 1500, 256).astype(np.int32)
+  ids = np.sort(span)
+  got = scatter_add_sorted(table, jnp.asarray(ids), jnp.asarray(g),
+                           window_rows=64, **KW)
+  np.testing.assert_allclose(np.asarray(got), _want_add(table, ids, g),
+                             rtol=1e-4, atol=2e-3)
+  # And through the fused Adagrad kernel on the same wide-span chunk.
+  acc = jnp.full((V, D), 0.1, jnp.float32)
+  gt, ga = adagrad_update_sorted(table, acc, jnp.asarray(ids),
+                                 jnp.asarray(g), lr=0.1, window_rows=64,
+                                 **KW)
+  wa = np.full((V, D), 0.1, np.float32)
+  wt = np.asarray(table).copy()
+  for i in range(len(ids)):
+    wa[ids[i]] += g[i] * g[i]
+    wt[ids[i]] -= 0.1 * g[i] / (np.sqrt(wa[ids[i]]) + 1e-7)
+  np.testing.assert_allclose(np.asarray(ga), wa, atol=2e-3)
+  np.testing.assert_allclose(np.asarray(gt), wt, atol=2e-3)
+
+
+def test_window_disabled_edges():
+  """``window_rows >= block_rows`` (and 0) must disable the window —
+  the ``0 < window_rows < block_rows`` gate — and still be exact."""
+  table, ids, g = _mk(dups=True, seed=11)
+  want = _want_add(table, ids, g)
+  for win in (0, KW['block_rows'], KW['block_rows'] * 2):
+    got = scatter_add_sorted(table, jnp.asarray(ids), jnp.asarray(g),
+                             window_rows=win, **KW)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+
+
 def test_sorted_segment_totals_feed():
   """Pre-combined totals through the kernel == direct duplicates."""
   table, ids_unsorted, g = _mk(dups=True, seed=5)

@@ -104,6 +104,32 @@ def test_templateless_step_still_compresses():
     assert np.isfinite(float(m['loss']))
 
 
+def test_tracer_first_call_does_not_latch_fallback():
+  """A first call under a trace can't read shardings and builds the
+  GSPMD fallback — but must NOT cache it: the next non-traced call
+  rebuilds with the real template and wire compression engages
+  (round-4 weak #5)."""
+  ctx = Context.get()
+  opt = optax.sgd(0.1)
+  with hb.scope(comm_gradient_wire_dtype='bfloat16'):
+    state = TrainState.create(_params(), opt, ctx)
+    step = make_train_step(_loss_fn, opt, ctx, donate_state=False)
+    batch = _put(_toy_batch(np.random.RandomState(0)), ctx)
+
+    # First use happens INSIDE another trace: params are tracers.
+    @jax.jit
+    def outer(s, b):
+      _, m = step(s, b)
+      return m['wire_grad']
+
+    assert float(outer(state, batch)) == 0.0   # tracer build: fallback
+    # First non-traced call must rebuild and compress.
+    _, m = step(state, batch)
+    assert float(m['wire_grad']) == 1.0
+    hlo = step.lower(state, batch).as_text()
+    assert 'all_reduce' in hlo and 'bf16' in hlo
+
+
 def test_wire_grad_metric_reports_fallback():
   """With a mesh-sharded params leaf the step falls back to the GSPMD
   f32 reduction — and says so via ``metrics['wire_grad'] == 0.0``
