@@ -1,0 +1,115 @@
+"""Criteo TSV -> Parquet converter (real-dataset schema compatibility).
+
+The Criteo 1TB click-logs format (ailab.criteo.com) is headerless TSV:
+``label \t 13 integer features \t 26 categorical features`` where the
+integer features may be empty or negative and the categoricals are
+8-hex-digit strings (or empty). The reference prepares it with
+``docs/tutorial/ranking/criteo/data/prep.py`` (int32 label/ints, int64
+hex-decoded cats, nulls -> -65536); this converter targets the SAME
+source files but emits the schema ``examples/criteo/train.py``
+consumes directly:
+
+  * ``label``  float32 0/1
+  * ``i0..i12`` float32 — ``log1p(max(x, 0))`` (the standard Criteo
+    dense transform; ``--raw-dense`` keeps raw values)
+  * ``c0..c25`` int64 in ``[0, vocab)`` — ``int(hex, 16) % vocab``;
+    missing values become ``-1`` (the lookup validity contract maps
+    them to zero vectors, so no table row is wasted on "missing")
+
+Usage:
+  python examples/criteo/convert.py day_0 [day_1 ...] \
+      [--vocab 100000] [--out-dir DIR] [--rows-per-chunk 1000000]
+  python examples/criteo/train.py --data 'day_0.parquet' ...
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))
+
+import argparse
+import os
+
+import numpy as np
+
+NUM_DENSE = 13
+NUM_CAT = 26
+COLUMNS = (['label'] + [f'rawint{i}' for i in range(NUM_DENSE)]
+           + [f'rawcat{i}' for i in range(NUM_CAT)])
+
+
+def _hex_to_id(col, vocab: int) -> np.ndarray:
+  """Vectorized ``int(x, 16) % vocab`` with empty/NaN -> -1."""
+  out = np.full(len(col), -1, np.int64)
+  mask = col.notna().to_numpy()
+  vals = col[mask].astype(str)
+  if len(vals):
+    out[mask] = np.asarray(
+        [int(v, 16) for v in vals], np.int64) % vocab
+  return out
+
+
+def convert_chunk(df, vocab: int, log_norm: bool = True):
+  """One pandas chunk (reference-format columns) -> train.py schema."""
+  out = {}
+  lab = df['label'].fillna(0).to_numpy()
+  out['label'] = lab.astype(np.float32)
+  for i in range(NUM_DENSE):
+    v = df[f'rawint{i}'].fillna(0).to_numpy().astype(np.float32)
+    out[f'i{i}'] = np.log1p(np.maximum(v, 0.0)) if log_norm else v
+  for c in range(NUM_CAT):
+    out[f'c{c}'] = _hex_to_id(df[f'rawcat{c}'], vocab)
+  return out
+
+
+def convert(tsv_path: str, out_path: str, vocab: int = 100_000,
+            rows_per_chunk: int = 1_000_000, log_norm: bool = True,
+            compression: str = 'snappy') -> int:
+  import pandas as pd
+  import pyarrow as pa
+  import pyarrow.parquet as pq
+  writer = None
+  total = 0
+  for df in pd.read_csv(tsv_path, sep='\t', names=COLUMNS,
+                        header=None, chunksize=rows_per_chunk,
+                        dtype={f'rawcat{c}': str for c in range(NUM_CAT)}):
+    tbl = pa.table(convert_chunk(df, vocab, log_norm))
+    if writer is None:
+      writer = pq.ParquetWriter(out_path, tbl.schema,
+                                compression=compression)
+    writer.write_table(tbl, row_group_size=min(rows_per_chunk, 65536))
+    total += len(df)
+  if writer is None:
+    raise SystemExit(f'{tsv_path}: no rows')
+  writer.close()
+  return total
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument('files', nargs='+', help='Criteo TSV day files')
+  p.add_argument('--vocab', type=int, default=100_000,
+                 help='hash-mod vocabulary per categorical column '
+                      '(match train.py --vocab)')
+  p.add_argument('--out-dir', default='',
+                 help='output directory (default: alongside input)')
+  p.add_argument('--rows-per-chunk', type=int, default=1_000_000)
+  p.add_argument('--raw-dense', action='store_true',
+                 help='keep raw integer features (no log1p)')
+  p.add_argument('--compression', default='snappy')
+  args = p.parse_args()
+  for f in args.files:
+    base = os.path.basename(f)
+    stem = base[:-4] if base.endswith('.tsv') else base
+    out = os.path.join(args.out_dir or os.path.dirname(f) or '.',
+                       stem + '.parquet')
+    n = convert(f, out, vocab=args.vocab,
+                rows_per_chunk=args.rows_per_chunk,
+                log_norm=not args.raw_dense,
+                compression=args.compression)
+    print(f'{f} -> {out}: {n} rows')
+
+
+if __name__ == '__main__':
+  main()

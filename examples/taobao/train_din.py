@@ -110,8 +110,6 @@ def main():
       din_session_init, extract_features, init_tables)
   from hybridbackend_tpu.training import LoggingHook, multi_optimizer
 
-  if args.sessions and args.sparse:
-    raise SystemExit('--sessions uses the dense path (drop --sparse)')
   if args.sessions and args.data == '/tmp/taobao_sample.parquet':
     args.data = '/tmp/taobao_sessions.parquet'
   if args.synthesize or not os.path.exists(args.data):
@@ -135,8 +133,10 @@ def main():
 
   if args.sparse:
     # Candidate + history resolved in ONE fused exchange ('cand_hist'
-    # column, [B, 1+L]); raw mode hands attention the uncombined
-    # sequence. Tables update on touched rows only.
+    # column, [B, 1+L] — or [B, 1+S*L] for --sessions, the rank-2
+    # padded history flattened with mask-derived -1 invalids); raw mode
+    # hands attention the uncombined sequence (session structure is
+    # restored in the model fn). Tables update on touched rows only.
     from hybridbackend_tpu.models import StackedFeatureExtractor
     fx = StackedFeatureExtractor(
         [EmbeddingSpec(item_cfg, column='cand_hist'),
@@ -144,6 +144,16 @@ def main():
 
     def raw_loss(net_params, members, batch):
       emb = members['item']                               # [B, 1+L, D]
+      if args.sessions:
+        mask = batch['hist_mask']                         # [B, S, L]
+        keys = emb[:, 1:].reshape(
+            emb.shape[0], mask.shape[1], mask.shape[2], emb.shape[-1])
+        preds = din_session_apply(net_params, emb[:, 0], keys, mask,
+                                  [members['user']])
+        preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
+        y = batch['label']
+        pel = -(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
+        return jnp.mean(pel), {'preds': preds, 'per_example_loss': pel}
       return din_loss(net_params, emb[:, 0], emb[:, 1:],
                       members['user'], batch)
 
@@ -189,8 +199,16 @@ def main():
   def add_cand_hist(b):
     if args.sparse:
       b = dict(b)
+      hist = np.asarray(b['hist'])
+      if args.sessions:
+        # [B, S, L] -> [B, S*L] with padding ids forced to -1: the
+        # sparse path's validity contract turns them into zero vectors
+        # and the update kernel never touches a table row for them.
+        mask = np.asarray(b['hist_mask']).reshape(hist.shape[0], -1)
+        hist = np.where(mask.astype(bool),
+                        hist.reshape(hist.shape[0], -1), -1)
       b['cand_hist'] = np.concatenate(
-          [np.asarray(b['item'])[:, None], np.asarray(b['hist'])], axis=1)
+          [np.asarray(b['item'])[:, None], hist], axis=1)
     return b
 
   def batches(shuffle):

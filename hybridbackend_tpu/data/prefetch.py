@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue as _queue
 import threading
+import time as _time
 from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
@@ -32,13 +33,17 @@ OPTIONS.register('data_prefetch_capacity', 2, env='HB_DATA_PREFETCH_CAPACITY',
 
 
 def _put_batch(batch: Dict[str, np.ndarray], ctx: Context,
-               sharded: bool) -> Dict[str, jax.Array]:
+               sharded: bool, shard_dim: int = 0) -> Dict[str, jax.Array]:
   out = {}
   for k, v in batch.items():
     v = np.asarray(v)
-    if sharded and v.ndim >= 1:
-      sharding = ctx.batch_sharding if v.ndim == 1 else ctx.sharding(
-          ctx.data_axes, *([None] * (v.ndim - 1)))
+    if sharded and v.ndim > shard_dim:
+      if v.ndim == 1:
+        sharding = ctx.batch_sharding
+      else:
+        spec = [None] * v.ndim
+        spec[shard_dim] = ctx.data_axes
+        sharding = ctx.sharding(*spec)
       if ctx.num_processes > 1:
         out[k] = jax.make_array_from_process_local_data(sharding, v)
       else:
@@ -62,12 +67,15 @@ class DeviceIterator:
                sharded: bool = True,
                transform: Optional[Callable[[Dict[str, np.ndarray]],
                                             Dict[str, np.ndarray]]] = None,
-               producer_put: Optional[bool] = None):
+               producer_put: Optional[bool] = None,
+               shard_dim: int = 0):
     self._ctx = ctx or Context.get()
     self._capacity = capacity or int(OPTIONS['data_prefetch_capacity'])
     self._q: _queue.Queue = _queue.Queue(maxsize=self._capacity)
     self._stop = threading.Event()
     self._sharded = sharded
+    self._shard_dim = shard_dim  # batch axis (1 for [G, B] multi-batch
+                                 # groups, reference iterators.py:74-272)
     self._transform = transform
     self._inner = host_iterator
     if producer_put is None:
@@ -81,9 +89,24 @@ class DeviceIterator:
       # actual H2D DMA with the previous step's execution.
       producer_put = self._ctx.num_processes <= 1
     self._producer_put = producer_put
+    # Input-stall accounting (round-4 weak #3): a slow step must be
+    # attributable to input starvation vs compute. A "stall" is a
+    # __next__ that found the queue EMPTY and had to wait on the
+    # producer; stall_s accumulates that wait. The reference surfaces
+    # step-time percentiles for the same diagnosis (hooks.py:231-321).
+    self.gets = 0
+    self.stalls = 0
+    self.stall_s = 0.0
     self._thread = threading.Thread(
         target=self._producer, args=(iter(host_iterator),), daemon=True)
     self._thread.start()
+
+  @property
+  def stall_stats(self) -> Dict[str, float]:
+    """``{'gets', 'stalls', 'stall_s', 'stall_fraction'}`` so far."""
+    return {'gets': self.gets, 'stalls': self.stalls,
+            'stall_s': self.stall_s,
+            'stall_fraction': self.stalls / max(self.gets, 1)}
 
   def _producer(self, it):
     try:
@@ -91,7 +114,8 @@ class DeviceIterator:
         if self._transform is not None:
           batch = self._transform(batch)
         if self._producer_put:
-          batch = _put_batch(batch, self._ctx, self._sharded)
+          batch = _put_batch(batch, self._ctx, self._sharded,
+                             self._shard_dim)
         while not self._stop.is_set():
           try:
             self._q.put(batch, timeout=0.1)
@@ -111,13 +135,31 @@ class DeviceIterator:
   def __next__(self) -> Dict[str, jax.Array]:
     if self._stop.is_set():
       raise StopIteration
-    item = self._q.get()
+    self.gets += 1
+    stalled = False
+    waited = 0.0
+    try:
+      item = self._q.get_nowait()
+    except _queue.Empty:
+      stalled = True
+      t0 = _time.perf_counter()
+      item = self._q.get()
+      waited = _time.perf_counter() - t0
+      self.stalls += 1
+      self.stall_s += waited
     if item is None:
+      # End-of-stream sentinel: waiting for it is not an input stall
+      # of a step — roll the accounting back.
+      self.gets -= 1
+      if stalled:
+        self.stalls -= 1
+        self.stall_s -= waited
       raise StopIteration
     if isinstance(item, BaseException):
       raise item
     if not self._producer_put:
-      item = _put_batch(item, self._ctx, self._sharded)
+      item = _put_batch(item, self._ctx, self._sharded,
+                        self._shard_dim)
     return item
 
   def close(self, join: bool = True) -> None:

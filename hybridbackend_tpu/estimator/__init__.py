@@ -193,6 +193,10 @@ class Trainer:
     elif self._host_transform is not None:
       it = map(self._host_transform, it)
     hooks = list(hooks)
+    if isinstance(it, DeviceIterator):
+      for h in hooks:
+        if isinstance(h, StepStatHook):
+          h.set_input_iterator(it)  # input-stall attribution
     summary_steps = int(OPTIONS['summary_steps'])
     if summary_steps:
       writer = self._get_summary_writer()

@@ -253,3 +253,106 @@ class TestNativeNestedDecode:
     (batch,) = list(ds)
     assert batch['x'].ragged_rank == 3
     assert batch['x'].to_list() == rows
+
+
+class TestSessionSparseFastPath:
+  """Round-5 order #3: rank-2 (session-grouped) histories reach the
+  row-sparse fast path — the [B, S, L] padded history flattens to
+  [B, S*L] with mask-derived -1 invalids, rides ``lookup_raw`` /
+  ``make_sparse_train_step`` raw mode, and the session structure is
+  restored in the model fn. Must match the dense path exactly."""
+
+  def _setup(self):
+    import jax
+    import jax.numpy as jnp
+    from hybridbackend_tpu.embedding import TableConfig, lookup
+    from hybridbackend_tpu.models import (
+        EmbeddingSpec, StackedFeatureExtractor, din_session_apply,
+        din_session_init)
+
+    rows = _nested_rows(16, seed=7, vocab=64)
+    arr = pa.array(rows, type=pa.list_(pa.list_(pa.int64())))
+    from hybridbackend_tpu.data.dataframe import from_arrow
+    padded, mask = from_arrow(arr).to_padded(max_len=(4, 4))
+    B, S, L = padded.shape
+
+    cfg = TableConfig('item', 64, 8)
+    fx = StackedFeatureExtractor([EmbeddingSpec(cfg, column='cand_hist')])
+    tables = fx.init(jax.random.PRNGKey(0))
+    params = din_session_init(jax.random.PRNGKey(1), 8,
+                              num_profile_features=0, num_dense=0,
+                              dnn_hidden_units=(16, 8))
+    query_ids = np.arange(B) % 64
+    flat = np.where(mask.reshape(B, -1).astype(bool),
+                    padded.reshape(B, -1), -1)
+    cand_hist = np.concatenate([query_ids[:, None], flat],
+                               axis=1).astype(np.int32)
+    return (fx, tables, params, cfg, padded, mask, query_ids, cand_hist,
+            din_session_apply, lookup)
+
+  def test_raw_path_matches_dense(self):
+    import jax
+    import jax.numpy as jnp
+    (fx, tables, params, cfg, padded, mask, query_ids, cand_hist,
+     din_session_apply, lookup) = self._setup()
+    B, S, L = padded.shape
+    stack = fx.stacks[0]
+    sname = stack.stacked.name
+
+    # Dense path: plain lookups on the SAME stacked weights.
+    q = lookup(tables[sname], jnp.asarray(query_ids, jnp.int32),
+               stack.stacked)
+    keys = lookup(tables[sname], jnp.asarray(padded, jnp.int32),
+                  stack.stacked)
+    dense_preds = din_session_apply(params, q, keys, jnp.asarray(mask),
+                                    [])
+
+    # Sparse fast path: one fused raw lookup of the flattened column.
+    raw, ids, layouts = fx.lookup_raw(tables, {'cand_hist': cand_hist})
+    emb = raw[sname]                              # [B, 1+S*L, D]
+    assert emb.shape == (B, 1 + S * L, 8)
+    sp_preds = din_session_apply(
+        params, emb[:, 0], emb[:, 1:].reshape(B, S, L, -1),
+        jnp.asarray(mask), [])
+    np.testing.assert_allclose(np.asarray(sp_preds),
+                               np.asarray(dense_preds), atol=1e-6)
+
+  def test_sparse_train_step_runs_and_touches_valid_rows_only(self):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from hybridbackend_tpu.training import (SparseTrainState,
+                                            make_sparse_train_step)
+    (fx, tables, params, cfg, padded, mask, query_ids, cand_hist,
+     din_session_apply, lookup) = self._setup()
+    B, S, L = padded.shape
+
+    def raw_loss(net_params, members, batch):
+      emb = members['item']
+      m = batch['hist_mask']
+      preds = din_session_apply(
+          net_params, emb[:, 0],
+          emb[:, 1:].reshape(B, m.shape[1], m.shape[2], -1), m, [])
+      preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
+      y = batch['label']
+      return -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds)), {}
+
+    state = SparseTrainState.create(params, tables, optax.adam(1e-3),
+                                    adagrad_init=0.1)
+    step = make_sparse_train_step(fx, None, optax.adam(1e-3),
+                                  table_lr=0.1, raw_model_loss=raw_loss,
+                                  donate_state=False)
+    rng = np.random.RandomState(3)
+    batch = {'cand_hist': jnp.asarray(cand_hist),
+             'hist_mask': jnp.asarray(mask),
+             'label': jnp.asarray(rng.randint(0, 2, B), jnp.float32)}
+    before = {k: np.asarray(v) for k, v in state.tables.items()}
+    state2, m = step(state, batch)
+    assert np.isfinite(float(m['loss']))
+    sname = fx.stacks[0].stacked.name
+    delta = np.abs(np.asarray(state2.tables[sname]) - before[sname]).sum(1)
+    valid = set(query_ids.tolist())
+    valid |= set(np.asarray(padded)[np.asarray(mask).astype(bool)].tolist())
+    changed = set(np.nonzero(delta)[0].tolist())
+    assert changed <= valid
+    assert set(query_ids.tolist()) <= changed
