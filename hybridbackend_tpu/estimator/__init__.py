@@ -360,15 +360,17 @@ class Trainer:
   # -- export ------------------------------------------------------------
 
   def export_saved_model(self, path: str, example_batch,
-                         id_mappers=None) -> str:
+                         id_mappers=None, poly_batch: bool = False) -> str:
     """Serialize the serving function (reference ``saved_model.py:54-192``;
     chief-only, like rank0-only export there). ``id_mappers``
     ({column: IdMapper}) bundles dynamic-table id resolution for
-    cold-process serving."""
+    cold-process serving. ``poly_batch=True`` exports a symbolic batch
+    dimension (one bundle serves any batch size)."""
     from hybridbackend_tpu.training.saved_model import export
     if self._ctx.is_chief:
       export(lambda p, b: self._loss_fn(p, b)[1]['preds'],
-             self.params, example_batch, path, id_mappers=id_mappers)
+             self.params, example_batch, path, id_mappers=id_mappers,
+             poly_batch=poly_batch)
     return path
 
 
@@ -489,7 +491,8 @@ class SparseTrainer(Trainer):
 
   def export_saved_model(self, path: str, example_batch,
                          id_mappers=None,
-                         table_dtype: str = 'float32') -> str:
+                         table_dtype: str = 'float32',
+                         poly_batch: bool = False) -> str:
     """Export a STANDALONE serving bundle (reference ``export_all``
     semantics, ``saved_model.py:54-192``): the serving graph is rebuilt
     per-member from the trained state — stacked physical tables are
@@ -587,7 +590,8 @@ class SparseTrainer(Trainer):
 
     host_dense = jax.tree_util.tree_map(np.asarray, self.state.dense)
     return export(serving_fn, (host_dense, serving_tables),
-                  example_batch, path, id_mappers=id_mappers)
+                  example_batch, path, id_mappers=id_mappers,
+                  poly_batch=poly_batch)
 
 
 __all__ = ['Trainer', 'SparseTrainer']

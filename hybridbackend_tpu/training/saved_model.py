@@ -20,7 +20,8 @@ import numpy as np
 
 def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
            params: Any, example_batch: Dict[str, Any], path: str,
-           id_mappers: Dict[str, Any] = None) -> str:
+           id_mappers: Dict[str, Any] = None,
+           poly_batch: bool = False) -> str:
   """Serialize ``serving_fn(params, batch)`` + params under ``path``.
 
   Layout: ``<path>/serving_fn.bin`` (StableHLO via jax.export),
@@ -36,6 +37,11 @@ def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
   (sequence) features follow the padded+mask contract — a ``col`` of
   padded ids plus ``col_mask`` validity — and are recorded as such in
   ``signature.json``.
+
+  ``poly_batch=True`` exports with a SYMBOLIC leading (batch) dimension
+  on every batch input (jax.export shape polymorphism): one bundle
+  serves any batch size — the reference SavedModel's dynamic-batch
+  contract — at the cost of a per-concrete-size compile at serve time.
   """
   from jax import export as jax_export
   import orbax.checkpoint as ocp
@@ -57,9 +63,16 @@ def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
   # lookup paths degrade to local gathers (reference parity: rank0 builds
   # the serving graph from the merged checkpoint, ``saved_model.py:54``).
   one_dev = Context(build_mesh(devices=[jax.devices()[0]]))
+  host_batch = {k: np.asarray(v) for k, v in example_batch.items()}
   with context_scope(one_dev):
-    exported = jax_export.export(jax.jit(flat_fn))(
-        leaves, {k: np.asarray(v) for k, v in example_batch.items()})
+    if poly_batch:
+      bspecs = {k: ('b' + ', _' * (v.ndim - 1)) if v.ndim else None
+                for k, v in host_batch.items()}
+      specs = jax_export.symbolic_args_specs(
+          (leaves, host_batch), (None, bspecs))
+      exported = jax_export.export(jax.jit(flat_fn))(*specs)
+    else:
+      exported = jax_export.export(jax.jit(flat_fn))(leaves, host_batch)
   with open(os.path.join(path, 'serving_fn.bin'), 'wb') as f:
     f.write(exported.serialize())
 
@@ -83,9 +96,12 @@ def export(serving_fn: Callable[[Any, Dict[str, jax.Array]], jax.Array],
 
   keys = set(example_batch)
   signature = {
-      'inputs': {k: {'shape': list(np.asarray(v).shape),
+      'inputs': {k: {'shape': (['b'] + list(np.asarray(v).shape[1:])
+                               if poly_batch and np.asarray(v).ndim
+                               else list(np.asarray(v).shape)),
                      'dtype': str(np.asarray(v).dtype)}
                  for k, v in example_batch.items()},
+      'poly_batch': bool(poly_batch),
       # Padded+mask sequence contract (reference ragged serving inputs).
       'ragged': sorted(k for k in keys
                        if not k.endswith('_mask') and f'{k}_mask' in keys),

@@ -186,3 +186,54 @@ def test_dynamic_table_export_bundles_id_mapper(tmp_path):
   bb = float(np.asarray(t.state.dense['b']))
   want = 1.0 / (1.0 + np.exp(-(x @ w)[:, 0] - bb))
   np.testing.assert_allclose(preds_unseen, want, rtol=1e-4, atol=1e-5)
+
+
+def test_poly_batch_export_serves_any_batch(tmp_path):
+  """``poly_batch=True`` (round-5): one bundle with a symbolic leading
+  dim serves multiple batch sizes — the reference SavedModel's
+  dynamic-batch contract — for both the plain Trainer export and the
+  SparseTrainer stacked path, ragged inputs included."""
+  import jax
+  import jax.numpy as jnp
+  import optax
+
+  from hybridbackend_tpu.embedding import TableConfig
+  from hybridbackend_tpu.estimator import SparseTrainer
+  from hybridbackend_tpu.models import (EmbeddingSpec,
+                                        StackedFeatureExtractor)
+
+  cfgs = [TableConfig('p0', 256, 8), TableConfig('p1', 128, 8)]
+  fx = StackedFeatureExtractor([EmbeddingSpec(c) for c in cfgs],
+                               dense_columns=['d0'])
+
+  def mloss(net, emb_f, dense_f, batch):
+    x = jnp.concatenate(emb_f + dense_f, axis=-1)
+    p = jnp.clip(jax.nn.sigmoid((x @ net['w'])[:, 0]), 1e-6, 1 - 1e-6)
+    y = batch['label']
+    pel = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+    return jnp.mean(pel), {'preds': p, 'per_example_loss': pel}
+
+  tr = SparseTrainer(fx, mloss, {'w': jnp.ones((17, 1), jnp.float32) * .1},
+                     rng=jax.random.PRNGKey(0), model_dir=None)
+  rng = np.random.RandomState(0)
+
+  def mk(b):
+    return {'p0': rng.randint(0, 256, b).astype(np.int32),
+            'p1': rng.randint(0, 128, b).astype(np.int32),
+            'd0': rng.rand(b).astype(np.float32),
+            'label': rng.randint(0, 2, b).astype(np.float32)}
+
+  tr.train(iter([mk(64)]), sync=False, prefetch=False)
+  path = tr.export_saved_model(str(tmp_path / 'poly'), mk(64),
+                               poly_batch=True)
+  served = Served(path)
+  assert served.signature['poly_batch'] is True
+  for b in (16, 64, 100):
+    out = served.predict(mk(b))
+    assert out.shape == (b,)
+    assert np.isfinite(out).all()
+  # Exact parity with the trainer's own predictions at a NEW size.
+  batch = mk(48)
+  (want,) = list(tr.predict([batch], prefetch=False))
+  got = served.predict(batch)
+  np.testing.assert_allclose(got, want, atol=1e-5)
