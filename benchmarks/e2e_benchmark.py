@@ -3,7 +3,7 @@
 Round-4 verdict order #1: the data plane (8.78 ms/step decode) and the
 train step (7.19 ms on chip) were each measured alone, never combined.
 This harness runs the reference's canonical deliverable shape — a
-Criteo-format Parquet file (26 categorical int64 + 13 dense float +
+Criteo-format Parquet file (26 categorical ids + 13 dense float +
 label) through ``ParquetDataset`` → ``DeviceIterator`` prefetch → the
 flagship stacked-DCNv2 sparse train step on the chip — and reports
 ``e2e_examples_per_s`` plus the input-stall fraction (steps that found
@@ -66,9 +66,9 @@ def _skewed_ids(rng, n: int, vocab: int):
 
 
 def ensure_file(rows: int, seed: int = 0) -> str:
-  """Criteo-shape synthetic Parquet: c0..c25 int64 ids (log-uniform
+  """Criteo-shape synthetic Parquet: c0..c25 int32 ids (log-uniform
   skewed, like real CTR id frequencies), i0..i12 float32, int64
-  label."""
+  label — the converter's output schema (int32 plain-encoded cats)."""
   cache = _os.environ.get('HB_BENCH_CACHE', _default_cache())
   path = _os.path.join(cache, f'e2e_criteo_{rows}.parquet')
   if _os.path.exists(path):
@@ -86,13 +86,18 @@ def ensure_file(rows: int, seed: int = 0) -> str:
     n = min(slab, rows - done)
     data = {}
     for c in range(N_CAT):
-      data[f'c{c}'] = _skewed_ids(rng, n, VOCAB)
+      data[f'c{c}'] = _skewed_ids(rng, n, VOCAB).astype(np.int32)
     for d in range(N_DENSE):
       data[f'i{d}'] = rng.rand(n).astype(np.float32)
     data['label'] = rng.randint(0, 2, n)
     tbl = pa.table(data)
     if writer is None:
-      writer = pq.ParquetWriter(path, tbl.schema, compression='snappy')
+      # int32 + plain-encoded cats: the converter's real output format
+      # (examples/criteo/convert.py) — high-card dictionary pages
+      # decode slower than plain, and ids fit int32 after hash-mod.
+      writer = pq.ParquetWriter(
+          path, tbl.schema, compression='snappy',
+          use_dictionary=[f'i{d}' for d in range(N_DENSE)] + ['label'])
     writer.write_table(tbl, row_group_size=32768)
     done += n
   writer.close()
@@ -178,8 +183,10 @@ def main():
     """Producer-thread prep: int64→int32 ids, [G·B]→[G, B] views."""
     out = {}
     for i in range(N_CAT):
-      out[f'c{i}'] = np.ascontiguousarray(
-          batch[f'c{i}'].astype(np.int32).reshape(G, B))
+      col = batch[f'c{i}']
+      if col.dtype != np.int32:
+        col = col.astype(np.int32)
+      out[f'c{i}'] = np.ascontiguousarray(col.reshape(G, B))
     for d in dense_names:
       out[d] = np.ascontiguousarray(
           batch[d].astype(np.float32).reshape(G, B))

@@ -12,9 +12,14 @@ consumes directly:
   * ``label``  float32 0/1
   * ``i0..i12`` float32 — ``log1p(max(x, 0))`` (the standard Criteo
     dense transform; ``--raw-dense`` keeps raw values)
-  * ``c0..c25`` int64 in ``[0, vocab)`` — ``int(hex, 16) % vocab``;
-    missing values become ``-1`` (the lookup validity contract maps
-    them to zero vectors, so no table row is wasted on "missing")
+  * ``c0..c25`` int32 in ``[0, vocab)`` — ``int(hex, 16) % vocab``
+    (int64 when ``vocab`` exceeds int32); missing values become ``-1``
+    (the lookup validity contract maps them to zero vectors, so no
+    table row is wasted on "missing"). int32 + plain encoding halve
+    the decode bytes of the hot categorical columns — hash-modded ids
+    are high-cardinality, where dictionary pages cost more to decode
+    than they save (measured: the training-side reader decodes
+    high-card dictionary int64 2-3x slower than plain int32)
 
 Usage:
   python examples/criteo/convert.py day_0 [day_1 ...] \
@@ -58,8 +63,9 @@ def convert_chunk(df, vocab: int, log_norm: bool = True):
   for i in range(NUM_DENSE):
     v = df[f'rawint{i}'].fillna(0).to_numpy().astype(np.float32)
     out[f'i{i}'] = np.log1p(np.maximum(v, 0.0)) if log_norm else v
+  cat_dtype = np.int32 if vocab <= (1 << 31) - 1 else np.int64
   for c in range(NUM_CAT):
-    out[f'c{c}'] = _hex_to_id(df[f'rawcat{c}'], vocab)
+    out[f'c{c}'] = _hex_to_id(df[f'rawcat{c}'], vocab).astype(cat_dtype)
   return out
 
 
@@ -76,8 +82,12 @@ def convert(tsv_path: str, out_path: str, vocab: int = 100_000,
                         dtype={f'rawcat{c}': str for c in range(NUM_CAT)}):
     tbl = pa.table(convert_chunk(df, vocab, log_norm))
     if writer is None:
-      writer = pq.ParquetWriter(out_path, tbl.schema,
-                                compression=compression)
+      # Hash-modded categorical ids are high-cardinality: dictionary
+      # pages decode SLOWER than plain for them (big dict gathers);
+      # keep dictionary encoding for the low-card dense/label columns.
+      writer = pq.ParquetWriter(
+          out_path, tbl.schema, compression=compression,
+          use_dictionary=[f'i{i}' for i in range(NUM_DENSE)] + ['label'])
     writer.write_table(tbl, row_group_size=min(rows_per_chunk, 65536))
     total += len(df)
   if writer is None:

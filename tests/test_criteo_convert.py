@@ -63,7 +63,7 @@ def test_convert_schema_and_values(tmp_path):
   df = tbl.to_pandas()
   assert df['label'].dtype == np.float32
   assert df['i0'].dtype == np.float32
-  assert df['c0'].dtype == np.int64
+  assert df['c0'].dtype == np.int32   # vocab fits int32
   # Value semantics: hex -> int(x,16) % vocab; empty -> -1; ints ->
   # log1p(max(x, 0)); labels exact.
   for r, (label, ints, cats) in enumerate(rows):
