@@ -76,8 +76,9 @@ def _flagship_bundles(tmp, ctx, steps=2):
     out['label'] = rng.randint(0, 2, b).astype(np.float32)
     return out
 
-  tr.train(iter([mk_batch(512) for _ in range(steps)]), sync=False,
-           prefetch=False)
+  if steps:
+    tr.train(iter([mk_batch(512) for _ in range(steps)]), sync=False,
+             prefetch=False)
   out = {}
   for dtype in ('float32', 'int8'):
     path = _os.path.join(tmp, f'flagship_{dtype}')
@@ -171,6 +172,10 @@ def bench_bundle(path, mk_batch, sizes, inner, repeats):
 def main():
   p = argparse.ArgumentParser()
   p.add_argument('--inner', type=int, default=20)
+  p.add_argument('--train-steps', type=int, default=2,
+                 help='train steps before export (0 skips the train-'
+                      'step compile entirely — latency does not need '
+                      'trained weights)')
   p.add_argument('--repeats', type=int, default=3)
   p.add_argument('--sizes', type=int, nargs='*', default=[128, 1024, 8192])
   p.add_argument('--cpu', type=int, default=0)
@@ -188,7 +193,8 @@ def main():
   tmp = tempfile.mkdtemp(prefix='hbtpu_serve_')
   try:
     if 'f32' in args.cases or 'int8' in args.cases:
-      bundles, mk_batch = _flagship_bundles(tmp, ctx)
+      bundles, mk_batch = _flagship_bundles(tmp, ctx,
+                                            steps=args.train_steps)
       for name, dtype in (('f32', 'float32'), ('int8', 'int8')):
         if name not in args.cases:
           continue

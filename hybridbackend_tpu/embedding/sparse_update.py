@@ -66,7 +66,7 @@ OPTIONS.register(
         'against a dynamic-offset window this many rows tall instead '
         'of the whole block (block_rows/window fewer MXU ops; '
         'wider-spanning chunks take the exact full-block fallback). '
-        '-1 = kernel default (512); 0 = always full block.')
+        '-1 = kernel default (256); 0 = always full block.')
 OPTIONS.register(
     'emb_update_dma_chunk', 0, env='HB_EMB_UPDATE_DMA_CHUNK',
     doc='Update-list transfer granule of the stream kernel (rows per '
@@ -115,11 +115,12 @@ OPTIONS.register(
         'and the optimizer apply runs as a fused XLA elementwise pass '
         'over (table, slots, gsum). Bit-identical to the fused kernel. '
         "Measured SLOWER on one v5e chip at the flagship packed shape "
-        '(stream_bw_probe: gsum kernel 3.4 ms + 5-transfer XLA apply '
-        '2.6 ms ≈ 6.0 ms vs ~4.1 ms fused in-step): the fused kernel '
+        '(stream_bw_probe, canonical run in docs/benchmarks.md; ~4% '
+        'run-to-run spread: gsum kernel 3.4 ms + 5-transfer XLA apply '
+        '2.49 ms ≈ 5.9 ms vs ~4.1 ms fused in-step): the fused kernel '
         'overlaps the one-hot scatter MXU work with the table stream, '
-        "and XLA's elementwise rate (331 GB/s) is only ~1.15x the "
-        "kernel's pass-through (287 GB/s) — not enough to buy back the "
+        "and XLA's elementwise rate (342 GB/s) is only ~1.15x the "
+        "kernel's pass-through (297 GB/s) — not enough to buy back the "
         "extra dense gsum pass. Default 'off'; 'auto' enables it in "
         'the dense-touch regime (touched-blocks grid inactive, 128-lane '
         "physical rows) for future chips / A-B probes; 'on' forces. "
