@@ -32,6 +32,12 @@ def main():
   p.add_argument('--sparse', action='store_true',
                  help='row-sparse table updates (Pallas stream kernel '
                       'on TPU) via make_sparse_train_step raw mode')
+  p.add_argument('--sessions', type=int, default=0, metavar='S',
+                 help='session-grouped history: [B, S, hist/S] + '
+                      '2-level mask through din_session_apply (the '
+                      'rank-2 nested-ragged device layout); composes '
+                      'with --sparse (flattened ids + mask-derived -1 '
+                      'invalids ride the row-sparse fast path)')
   p.add_argument('--cpu', type=int, default=0)
   p.add_argument('--json', action='store_true')
   args = p.parse_args()
@@ -47,7 +53,8 @@ def main():
   from hybridbackend_tpu.embedding import TableConfig, create_table
   from hybridbackend_tpu.embedding.lookup import lookup
   from hybridbackend_tpu.models import (
-      EmbeddingSpec, StackedFeatureExtractor, din_apply, din_init)
+      EmbeddingSpec, StackedFeatureExtractor, din_apply, din_init,
+      din_session_apply, din_session_init)
   from hybridbackend_tpu.training import (
       SparseTrainState, TrainState, make_sparse_train_step,
       make_train_step, multi_optimizer)
@@ -57,11 +64,25 @@ def main():
   user_cfg = TableConfig('user', args.vocab // 10, args.dim)
   key = jax.random.PRNGKey(0)
   k_i, k_u, k_net = jax.random.split(key, 3)
-  net = din_init(k_net, args.dim, num_profile_features=1, num_dense=2)
+  S = args.sessions
+  if S:
+    if args.hist % S:
+      raise SystemExit('--hist must divide by --sessions')
+    L = args.hist // S
+    net = din_session_init(k_net, args.dim, num_profile_features=1,
+                           num_dense=2)
+  else:
+    net = din_init(k_net, args.dim, num_profile_features=1, num_dense=2)
 
   def din_loss(net_params, query, keys, user, batch):
-    preds = din_apply(net_params, query, keys, batch['hist_mask'],
-                      [user], [batch['d0'], batch['d1']])
+    if S:
+      keys = keys.reshape(keys.shape[0], S, L, keys.shape[-1])
+      preds = din_session_apply(net_params, query, keys,
+                                batch['hist_mask'], [user],
+                                [batch['d0'], batch['d1']])
+    else:
+      preds = din_apply(net_params, query, keys, batch['hist_mask'],
+                        [user], [batch['d0'], batch['d1']])
     preds = jnp.clip(preds, 1e-6, 1 - 1e-6)
     y = batch['label']
     loss = -jnp.mean(y * jnp.log(preds) + (1 - y) * jnp.log(1 - preds))
@@ -107,8 +128,16 @@ def main():
     step = make_train_step(loss_fn, opt, ctx)
 
   rng = np.random.RandomState(0)
-  lengths = rng.randint(1, args.hist + 1, args.batch)
-  mask = (np.arange(args.hist)[None, :] < lengths[:, None])
+  if S:
+    # Per-session lengths -> a [B, S, L] 2-level mask (the to_padded
+    # device layout of a rank-2 ragged column).
+    slen = rng.randint(0, L + 1, (args.batch, S))
+    slen[:, 0] = np.maximum(slen[:, 0], 1)
+    mask = (np.arange(L)[None, None, :] < slen[:, :, None]
+            ).reshape(args.batch, S, L)
+  else:
+    lengths = rng.randint(1, args.hist + 1, args.batch)
+    mask = (np.arange(args.hist)[None, :] < lengths[:, None])
   base = {
       'item': jnp.asarray(rng.randint(0, args.vocab, args.batch),
                           jnp.int32),
@@ -121,8 +150,17 @@ def main():
       'd1': jnp.asarray(rng.rand(args.batch, 1), jnp.float32),
       'label': jnp.asarray(rng.randint(0, 2, args.batch), jnp.float32),
   }
-  base['cand_hist'] = jnp.concatenate(
-      [base['item'][:, None], base['hist']], axis=1)        # [B, 1+L]
+  if S:
+    base['hist_mask'] = jnp.asarray(mask)                   # [B, S, L]
+    if args.sparse:
+      # Mask-derived -1 invalids: padding ids must not touch rows.
+      flat = jnp.where(mask.reshape(args.batch, -1),
+                       base['hist'], -1)
+      base['cand_hist'] = jnp.concatenate(
+          [base['item'][:, None], flat], axis=1)            # [B, 1+S*L]
+  else:
+    base['cand_hist'] = jnp.concatenate(
+        [base['item'][:, None], base['hist']], axis=1)      # [B, 1+L]
   base = {k: jax.device_put(v, ctx.batch_sharding) for k, v in base.items()}
 
   def multi_step(state, _):
@@ -131,7 +169,12 @@ def main():
       batch = dict(base)
       batch['item'] = (base['item'] + i) % args.vocab
       batch['hist'] = (base['hist'] + i) % args.vocab
-      batch['cand_hist'] = (base['cand_hist'] + i) % args.vocab
+      if 'cand_hist' in base:
+        # Valid lanes shift with i; -1 invalids (sessions+sparse) stay
+        # invalid — jnp.where keeps the mask-derived holes.
+        ch = base['cand_hist']
+        batch['cand_hist'] = jnp.where(ch >= 0, (ch + i) % args.vocab,
+                                       ch)
       st, metrics = step(st, batch)
       return st, metrics['loss']
     return jax.lax.scan(body, state, jnp.arange(args.inner_steps))
@@ -155,7 +198,8 @@ def main():
       'ms_per_step': round(1000 * best / args.inner_steps, 3),
       'batch': args.batch, 'hist': args.hist, 'dim': args.dim,
       'vocab': args.vocab, 'devices': ctx.world_size,
-      'sparse': args.sparse, 'backend': jax.default_backend(),
+      'sparse': args.sparse, 'sessions': S,
+      'backend': jax.default_backend(),
       'compile_s': round(compile_s, 1), 'final_loss': round(first, 4),
   }
   if args.json:

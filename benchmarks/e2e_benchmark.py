@@ -128,6 +128,9 @@ def main():
                  help='DeviceIterator capacity in GROUPS')
   p.add_argument('--cpu', type=int, default=0)
   p.add_argument('--json', action='store_true')
+  p.add_argument('--profile', action='store_true',
+                 help='synchronous per-stage timing (decode / pack / '
+                      'put / step) instead of the pipelined benchmark')
   args = p.parse_args()
 
   if args.cpu:
@@ -180,22 +183,32 @@ def main():
                                 donate_state=False)
 
   def transform(batch):
-    """Producer-thread prep: int64→int32 ids, [G·B]→[G, B] views."""
-    out = {}
+    """Producer-thread prep: [G·B] columns -> TWO packed arrays
+    ([G, 26, B] int32 cats + [G, 14, B] f32 dense|label). 41 separate
+    device_puts cost ~85 ms of host dispatch per group through the
+    transfer path (each put pays fixed per-transfer overhead); two
+    packed puts dispatch in ~25 ms, and the jitted group step unpacks
+    by slicing (free under jit)."""
+    # [C, G, B] layout: each column fills CONTIGUOUS memory (the
+    # [G, C, B] variant's strided writes cost 93-153 ms/group on this
+    # host — measured with --profile; contiguous packing ~12 ms). The
+    # jitted group step swapaxes to scan-leading [G, C, B] on device
+    # (bandwidth-trivial).
+    cats = np.empty((N_CAT, G, B), np.int32)
     for i in range(N_CAT):
-      col = batch[f'c{i}']
-      if col.dtype != np.int32:
-        col = col.astype(np.int32)
-      out[f'c{i}'] = np.ascontiguousarray(col.reshape(G, B))
-    for d in dense_names:
-      out[d] = np.ascontiguousarray(
-          batch[d].astype(np.float32).reshape(G, B))
-    out['label'] = np.ascontiguousarray(
-        batch['label'].astype(np.float32).reshape(G, B))
-    return out
+      cats[i] = batch[f'c{i}'].reshape(G, B)
+    densel = np.empty((N_DENSE + 1, G, B), np.float32)
+    for d in range(N_DENSE):
+      densel[d] = batch[f'i{d}'].reshape(G, B)
+    densel[N_DENSE] = batch['label'].reshape(G, B)
+    return {'cats': cats, 'densel': densel}
 
   def group_step(st, groups):
-    def body(carry, b):
+    groups = {k: jnp.swapaxes(v, 0, 1) for k, v in groups.items()}
+    def body(carry, packed):
+      b = {f'c{i}': packed['cats'][i] for i in range(N_CAT)}
+      b.update({f'i{d}': packed['densel'][d] for d in range(N_DENSE)})
+      b['label'] = packed['densel'][N_DENSE]
       st2, m = step(carry, b)
       return st2, m['loss']
     st, losses = jax.lax.scan(body, st, groups)
@@ -203,10 +216,38 @@ def main():
 
   gstep = jax.jit(group_step)
 
+  if args.profile:
+    # Localize the producer cost: run stages SYNCHRONOUSLY per group.
+    stop = threading.Event()
+    it0 = host_pipeline(path, group_rows, threads, stop)
+    from hybridbackend_tpu.data.prefetch import _put_batch
+    b0 = transform(next(it0))
+    d0 = _put_batch(b0, ctx, True, 2)
+    state, last = gstep(state, d0)
+    _ = float(last)                      # compile
+    for g in range(6):
+      t0 = time.perf_counter()
+      raw = next(it0)
+      t1 = time.perf_counter()
+      packed = transform(raw)
+      t2 = time.perf_counter()
+      dev = _put_batch(packed, ctx, True, 2)
+      t3 = time.perf_counter()
+      state, last = gstep(state, dev)
+      t4 = time.perf_counter()
+      _ = float(last)
+      t5 = time.perf_counter()
+      print(f'group {g}: decode {1000*(t1-t0):.0f} pack '
+            f'{1000*(t2-t1):.0f} put-dispatch {1000*(t3-t2):.0f} '
+            f'step-dispatch {1000*(t4-t3):.0f} complete '
+            f'{1000*(t5-t4):.0f} ms', file=_sys.stderr, flush=True)
+    stop.set()
+    return
+
   stop = threading.Event()
   host_it = host_pipeline(path, group_rows, threads, stop)
   it = DeviceIterator(host_it, ctx=ctx, capacity=args.prefetch,
-                      transform=transform, shard_dim=1)
+                      transform=transform, shard_dim=2)  # [G, C, B]: B is axis 2
   try:
     # Warmup: one group (compile + reader spin-up). Reset stall stats
     # after — the compile wait empties the queue by definition.
