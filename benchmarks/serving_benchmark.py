@@ -141,10 +141,15 @@ def bench_bundle(path, mk_batch, sizes, inner, repeats):
   served = Served(path)
   load_s = time.perf_counter() - t0
   r = {'cold_load_s': round(load_s, 2), 'batches': {}}
+  import jax
   for b in sizes:
     batch = mk_batch(b)
     sig = served.signature['inputs']
-    staged = {k: np.asarray(v).astype(sig[k]['dtype'])
+    # Device-stage the inputs once: the amortized metric isolates the
+    # serving fn (a server keeps its input buffers device-adjacent);
+    # the roundtrip metric below goes through predict() with raw host
+    # numpy, paying the real H2D + D2H.
+    staged = {k: jax.device_put(np.asarray(v).astype(sig[k]['dtype']))
               for k, v in batch.items() if k in sig}
     t0 = time.perf_counter()
     first = np.asarray(served._call(served._params, staged))

@@ -138,6 +138,12 @@ class Served:
   def __init__(self, path: str):
     from hybridbackend_tpu.embedding.dynamic import IdMapper
     self._call, self._params = load(path)
+    # Pin the parameters on device ONCE: leaving them as host arrays
+    # makes every predict re-transfer the whole bundle (measured 3.5 s
+    # per call for a 154 MB flagship bundle through a slow H2D path;
+    # ~10 ms even on PCIe). Transfer is async — construction stays
+    # fast; the first predict waits for it.
+    self._params = jax.device_put(self._params)
     with open(os.path.join(path, 'signature.json')) as f:
       self.signature = json.load(f)
     self._mappers = {}
