@@ -10,9 +10,10 @@ MEASURED OUTCOME (one v5e chip, flagship packed shape): DISPROVEN.
 Canonical run (docs/benchmarks.md table; run-to-run spread ~4% on
 these cases): xla3 apply 2.49 ms @ 342 GB/s vs fused pass-through
 2.29 ms @ 297 GB/s — XLA elementwise is only ~1.15x per byte, and the
-gsum kernel alone costs 3.4 ms (the one-hot scatter MXU work that the
-fused kernel hides under the table stream). Dense-split total
-~5.9 ms > fused in-step ~4.1 ms, so `emb_update_split_dense`
+gsum kernel alone costs ~3.0 ms (the one-hot scatter MXU work that the
+fused kernel hides under the table stream; round-5 corrected — the
+earlier 3.4 included an uncounted update-list pass). Dense-split total
+~5.5 ms > fused in-step ~4.1 ms, so `emb_update_split_dense`
 defaults off; full table in docs/benchmarks.md.
 
 Cases:

@@ -68,6 +68,9 @@ def main():
   p.add_argument('--export', default='', metavar='DIR',
                  help='sparse mode: export a standalone serving bundle '
                       'after training')
+  p.add_argument('--export-poly', action='store_true',
+                 help='export with a symbolic batch dimension (one '
+                      'bundle serves any batch size)')
   p.add_argument('--export-int8', action='store_true',
                  help='quantize exported tables to per-row int8 '
                       '(4x smaller bundle)')
@@ -197,7 +200,8 @@ def main():
       example = next(sparse_batches(False))
       path = strainer.export_saved_model(
           args.export, example,
-          table_dtype='int8' if args.export_int8 else 'float32')
+          table_dtype='int8' if args.export_int8 else 'float32',
+          poly_batch=args.export_poly)
       if hb.Context.get().is_chief:
         print(f'exported serving bundle → {path}'
               + (' (int8 tables)' if args.export_int8 else ''))

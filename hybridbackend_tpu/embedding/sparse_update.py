@@ -116,8 +116,8 @@ OPTIONS.register(
         'over (table, slots, gsum). Bit-identical to the fused kernel. '
         "Measured SLOWER on one v5e chip at the flagship packed shape "
         '(stream_bw_probe, canonical run in docs/benchmarks.md; ~4% '
-        'run-to-run spread: gsum kernel 3.4 ms + 5-transfer XLA apply '
-        '2.49 ms ≈ 5.9 ms vs ~4.1 ms fused in-step): the fused kernel '
+        'run-to-run spread: gsum kernel ~3.0 ms + 5-transfer XLA apply '
+        '2.49 ms ≈ 5.5 ms vs ~4.1 ms fused in-step): the fused kernel '
         'overlaps the one-hot scatter MXU work with the table stream, '
         "and XLA's elementwise rate (342 GB/s) is only ~1.15x the "
         "kernel's pass-through (297 GB/s) — not enough to buy back the "

@@ -647,7 +647,7 @@ def _gsum_kernel(starts_ref, rows_ref, upd_hbm, out_ref, upd_s, sems, *,
   fused XLA elementwise pass over (table, acc, gsum) — the
   'dense-split' update (see ``sparse_update._stream_adagrad``).
   Measured SLOWER than the fused full-stream kernels on v5e at the
-  flagship shape (stream_bw_probe: this kernel alone costs ~3.4 ms
+  flagship shape (stream_bw_probe: this kernel alone costs ~3.0 ms
   because the one-hot scatter MXU work no longer overlaps the table
   stream, and the XLA apply adds a 5-transfer pass) — kept as an
   opt-in for future chips and wide-slot-state regimes."""
