@@ -168,7 +168,7 @@ def measure_e2e():
   try:
     proc = subprocess.run(
         [sys.executable, harness, '--json', '--steps', '128'],
-        capture_output=True, text=True, timeout=1800)
+        capture_output=True, text=True, timeout=2700)
     return json.loads(proc.stdout.strip().splitlines()[-1])
   except Exception as e:  # noqa: BLE001 — benchmark must not die here
     print(f'e2e benchmark failed: {e}', file=sys.stderr)
