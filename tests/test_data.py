@@ -332,6 +332,43 @@ class TestDeviceIterator:
     next(it)
     it.close()
 
+  def test_stall_stats_and_sentinel_rollback(self):
+    """Round-5: queue-empty waits are counted (stall attribution), and
+    the end-of-stream sentinel get must NOT count as a stall or a
+    get."""
+    import time as _t
+
+    def slow():
+      for i in range(4):
+        if i >= 2:
+          _t.sleep(0.15)           # drain the 1-deep queue -> stalls
+        yield {'x': np.full((8,), i, np.float32)}
+
+    it = DeviceIterator(slow(), capacity=1)
+    n = sum(1 for _ in it)
+    st = it.stall_stats
+    assert n == 4
+    assert st['gets'] == 4          # sentinel rolled back
+    assert st['stalls'] >= 1
+    assert st['stall_s'] > 0
+    assert 0 < st['stall_fraction'] <= 1
+
+  def test_shard_dim_for_grouped_batches(self):
+    """Round-5: shard_dim=1 shards the SECOND axis (multi-batch [G, B]
+    groups) — dim 0 stays whole even when it doesn't divide the mesh."""
+    import jax
+    from hybridbackend_tpu.framework.context import Context
+    ctx = Context.get()
+    w = ctx.world_size
+    batches = [{'g': np.arange(3 * 2 * w, dtype=np.float32)
+                .reshape(3, 2 * w)}]
+    it = DeviceIterator(iter(batches), shard_dim=1)
+    (got,) = list(it)
+    assert got['g'].shape == (3, 2 * w)
+    # Sharded over the mesh on dim 1: every device holds dim0 whole.
+    db = got['g'].sharding.shard_shape(got['g'].shape)
+    assert db[0] == 3 and db[1] == 2 * w // w
+
 
 class TestValidate:
 
