@@ -6,8 +6,9 @@ This harness runs the reference's canonical deliverable shape — a
 Criteo-format Parquet file (26 categorical ids + 13 dense float +
 label) through ``ParquetDataset`` → ``DeviceIterator`` prefetch → the
 flagship stacked-DCNv2 sparse train step on the chip — and reports
-``e2e_examples_per_s`` plus the input-stall fraction (steps that found
-the prefetch queue empty / total).
+``e2e_examples_per_s`` plus the input-stall fraction — the fraction
+of GROUP fetches (one fetch feeds G steps) that found the prefetch
+queue empty; the denominator is group fetches, not steps.
 
 Reference analogue: the taobao tutorial end-to-end loop
 (``/root/reference/docs/tutorial/ranking/taobao/train.py:36-160``) fed
@@ -281,7 +282,10 @@ def main():
       'steps': steps,
       'group': G,
       'batch': B,
+      # Fraction of GROUP fetches that waited on the queue (one fetch
+      # feeds G steps — denominator is fetches, not steps).
       'stall_fraction': round(stats['stall_fraction'], 4),
+      'group_fetches': stats['gets'],
       'stalls': stats['stalls'],
       'stall_s': round(stats['stall_s'], 3),
       'decode_threads': threads,

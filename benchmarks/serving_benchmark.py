@@ -141,25 +141,22 @@ def bench_bundle(path, mk_batch, sizes, inner, repeats):
   served = Served(path)
   load_s = time.perf_counter() - t0
   r = {'cold_load_s': round(load_s, 2), 'batches': {}}
-  import jax
   for b in sizes:
     batch = mk_batch(b)
-    sig = served.signature['inputs']
-    # Device-stage the inputs once: the amortized metric isolates the
-    # serving fn (a server keeps its input buffers device-adjacent);
-    # the roundtrip metric below goes through predict() with raw host
-    # numpy, paying the real H2D + D2H.
-    staged = {k: jax.device_put(np.asarray(v).astype(sig[k]['dtype']))
-              for k, v in batch.items() if k in sig}
+    # Device-stage the inputs once (public API): the amortized metric
+    # isolates the serving fn (a server keeps its input buffers
+    # device-adjacent); the roundtrip metric below goes through
+    # predict() with raw host numpy, paying the real H2D + D2H.
+    staged = served.stage(batch)
     t0 = time.perf_counter()
-    first = np.asarray(served._call(served._params, staged))
+    first = np.asarray(served.predict_staged(staged))
     first_s = time.perf_counter() - t0
     times = []
     for _ in range(repeats):
       t0 = time.perf_counter()
       out = None
       for _ in range(inner):
-        out = served._call(served._params, staged)
+        out = served.predict_staged(staged)
       _ = float(np.asarray(out).ravel()[0])
       times.append((time.perf_counter() - t0) / inner)
     t1 = time.perf_counter()

@@ -37,6 +37,15 @@ def _put_batch(batch: Dict[str, np.ndarray], ctx: Context,
   out = {}
   for k, v in batch.items():
     v = np.asarray(v)
+    if sharded and 0 < v.ndim <= shard_dim and ctx.num_processes > 1:
+      # A multi-process 'replicated' array assembled from DIFFERING
+      # per-host data would silently diverge across hosts — refuse
+      # instead (the array lacks the declared batch axis).
+      raise ValueError(
+          f'batch column {k!r} has ndim {v.ndim} <= shard_dim '
+          f'{shard_dim}: it carries no batch axis to shard, and '
+          'replicating per-host data across processes is unsound. '
+          'Reshape it to include the batch axis or drop it.')
     if sharded and v.ndim > shard_dim:
       if v.ndim == 1:
         sharding = ctx.batch_sharding
@@ -147,15 +156,16 @@ class DeviceIterator:
       waited = _time.perf_counter() - t0
       self.stalls += 1
       self.stall_s += waited
-    if item is None:
-      # End-of-stream sentinel: waiting for it is not an input stall
-      # of a step — roll the accounting back.
+    if item is None or isinstance(item, BaseException):
+      # End-of-stream sentinel or a producer crash: waiting for either
+      # is not an input stall of a step — roll the accounting back so
+      # post-mortem stall reports aren't skewed by the shutdown wait.
       self.gets -= 1
       if stalled:
         self.stalls -= 1
         self.stall_s -= waited
-      raise StopIteration
-    if isinstance(item, BaseException):
+      if item is None:
+        raise StopIteration
       raise item
     if not self._producer_put:
       item = _put_batch(item, self._ctx, self._sharded,

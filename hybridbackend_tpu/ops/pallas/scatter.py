@@ -675,7 +675,7 @@ _BLOCK_ROWS_GSUM = 8192  # gsum streams ONE output operand — 2 double-
                                              'interpret', 'dma_chunk',
                                              'window_rows'))
 def gsum_dense_sorted(rows: jax.Array, updates: jax.Array, vocab: int,
-                      block_rows: int = _BLOCK_ROWS_GSUM,
+                      block_rows: Optional[int] = None,
                       chunk: int = _CHUNK,
                       precision: str = 'highest',
                       interpret: bool = False,
@@ -694,11 +694,12 @@ def gsum_dense_sorted(rows: jax.Array, updates: jax.Array, vocab: int,
   if updates.shape[1] % 128:
     raise ValueError('gsum_dense_sorted needs 128-lane update rows; '
                      f'got D={updates.shape[1]}')
-  if block_rows == _BLOCK_ROWS_GSUM and updates.shape[1] > 128:
-    # The 8192 default is sized for kd=128 (4 MB out block). Wider rows
-    # scale the VMEM block linearly — keep block_rows*kd*4 near 4 MB so
-    # kd=512/1024 doesn't exhaust VMEM when the opt-in engages.
-    block_rows = max(512, _BLOCK_ROWS_GSUM * 128 // updates.shape[1])
+  if block_rows is None:
+    # Default sized for kd=128 (4 MB out block); wider rows scale the
+    # VMEM block linearly — shrink the DEFAULT to keep block_rows*kd*4
+    # near 4 MB. An EXPLICIT block_rows (A/B sweeps) is always honored.
+    block_rows = max(512, _BLOCK_ROWS_GSUM * 128 // max(updates.shape[1],
+                                                        128))
   if dma_chunk and dma_chunk % chunk:
     raise ValueError('dma_chunk must be a multiple of chunk')
   pad_unit = max(chunk, dma_chunk)

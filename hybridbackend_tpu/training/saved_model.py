@@ -158,14 +158,27 @@ class Served:
         self._mappers[col] = IdMapper.from_state_dict(
             m['capacity'], state, min_count=m['min_count'])
 
-  def predict(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+  def stage(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    """Resolve ids, select/cast signature inputs, and place them on
+    device — the input half of :meth:`predict`. A server that keeps
+    request buffers device-adjacent stages once and calls
+    :meth:`predict_staged` per dispatch."""
     batch = dict(batch)
     for col, mapper in self._mappers.items():
       batch[col] = mapper.map_ids(np.asarray(batch[col]), train=False)
     sig = self.signature['inputs']
-    got = {k: np.asarray(v).astype(sig[k]['dtype'])
-           for k, v in batch.items() if k in sig}
-    return np.asarray(self._call(self._params, got))
+    return {k: jax.device_put(np.asarray(v).astype(sig[k]['dtype']))
+            for k, v in batch.items() if k in sig}
+
+  def predict_staged(self, staged: Dict[str, jax.Array]) -> jax.Array:
+    """Run the serving fn on :meth:`stage`-d inputs WITHOUT host
+    round-trips: returns the device array (dispatch is async — read it
+    back when needed). The amortized-latency path of
+    ``benchmarks/serving_benchmark.py``."""
+    return self._call(self._params, staged)
+
+  def predict(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+    return np.asarray(self.predict_staged(self.stage(batch)))
 
 
 __all__ = ['export', 'load', 'Served']

@@ -234,6 +234,9 @@ class _FirstCallTemplatedStep:
     self._fallback = False  # True while _compiled came from a tracer call
 
   def _ensure(self, state):
+    if self._compiled is not None and not self._fallback:
+      return self._compiled   # settled: keep the per-step hot path free
+                              # of a full pytree flatten + Tracer scan
     params = state.params
     traced = any(isinstance(l, jax.core.Tracer)
                  for l in jax.tree_util.tree_leaves(params))
