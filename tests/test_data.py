@@ -353,6 +353,26 @@ class TestDeviceIterator:
     assert st['stall_s'] > 0
     assert 0 < st['stall_fraction'] <= 1
 
+  def test_multiprocess_rejects_batchless_column(self):
+    """A column with ndim <= shard_dim in a MULTI-process job cannot be
+    'replicated' (each host would contribute different data — silent
+    divergence); _put_batch must refuse with a clear error."""
+    from hybridbackend_tpu.data.prefetch import _put_batch
+    from hybridbackend_tpu.framework.context import Context
+
+    class _Ctx:
+      num_processes = 2
+      batch_sharding = None
+      data_axes = Context.get().data_axes
+
+    with pytest.raises(ValueError, match='no batch axis'):
+      _put_batch({'meta': np.arange(4)}, _Ctx(), sharded=True,
+                 shard_dim=1)
+    # Single process: replication of host data is sound — no error.
+    out = _put_batch({'meta': np.arange(4)}, Context.get(),
+                     sharded=True, shard_dim=1)
+    assert out['meta'].shape == (4,)
+
   def test_shard_dim_for_grouped_batches(self):
     """Round-5: shard_dim=1 shards the SECOND axis (multi-batch [G, B]
     groups) — dim 0 stays whole even when it doesn't divide the mesh."""
